@@ -1,0 +1,172 @@
+"""Closest-hit and any-hit intersection ops (pure-jnp reference path).
+
+Replaces the reference's per-object interface dispatch and linear scan
+(renderer.go:333-346 hitWorld; sphere.go:22-59; triangle.go:36-82;
+scene.go:196-209 Mesh.Hit) with batched lane x primitive intersection and an
+argmin reduction - the SPMD form of "loop over hittables, keep closest".
+
+Conventions carried over from the reference:
+  * ray directions are NOT normalized (camera rays are raw viewport vectors,
+    renderer.go:377-390); the sphere quadratic uses a = |d|^2 so t stays in
+    ray-parameter units.
+  * acceptance test is (tMin <= t <= tMax) with *strict* failure tests
+    (root < tMin || tMax < root, sphere.go:35-39).
+  * triangle epsilon 1e-6 on the determinant (triangle.go:42).
+  * tMin = 1e-3 everywhere (primary, bounce, and shadow rays).
+
+All functions are shape-polymorphic over a leading batch shape B.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(3.0e38)  # sentinel "no hit" distance (< f32 inf to keep math finite)
+
+
+class Hit(NamedTuple):
+    """SoA hit record, the vectorized HitRecord (geometry/ray.go:7-13)."""
+
+    t: jax.Array           # (B,) hit distance; BIG when no hit
+    hit: jax.Array         # (B,) bool
+    point: jax.Array       # (B,3)
+    normal: jax.Array      # (B,3) front-face flipped shading normal
+    front_face: jax.Array  # (B,) bool
+    mat_id: jax.Array      # (B,) int32
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def sphere_t(origin, direction, center, radius, t_min, t_max):
+    """Hit distances for all (lane, sphere) pairs.
+
+    origin/direction: (B,3); center: (Ns,3); radius: (Ns,).
+    Returns t: (B,Ns) with BIG where there is no valid hit.
+
+    Parity with sphere.go:22-59: half-b quadratic, near root preferred,
+    far root fallback, both tested against [t_min, t_max].
+    """
+    oc = origin[..., None, :] - center  # (B,Ns,3)
+    a = _dot(direction, direction)[..., None]  # (B,1)
+    half_b = jnp.sum(oc * direction[..., None, :], axis=-1)  # (B,Ns)
+    c = _dot(oc, oc) - radius * radius  # (B,Ns)
+    disc = half_b * half_b - a * c
+    ok = disc >= 0.0
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / a
+    root0 = (-half_b - sqrtd) * inv_a
+    root1 = (-half_b + sqrtd) * inv_a
+    in0 = ok & (root0 >= t_min) & (root0 <= t_max)
+    in1 = ok & (root1 >= t_min) & (root1 <= t_max)
+    t = jnp.where(in0, root0, jnp.where(in1, root1, BIG))
+    return t
+
+
+def triangle_t(origin, direction, v0, edge1, edge2, t_min, t_max):
+    """Moller-Trumbore hit distances for all (lane, triangle) pairs.
+
+    origin/direction: (B,3); v0/edge1/edge2: (Nt,3) with edges precomputed
+    (edge1 = v1-v0, edge2 = v2-v0, triangle.go:37-38).
+    Returns t: (B,Nt) with BIG where there is no valid hit.
+    """
+    d = direction[..., None, :]  # (B,1,3)
+    h = jnp.cross(d, edge2[None, ...] if edge2.ndim == 2 else edge2)  # (B,Nt,3)
+    a = jnp.sum(edge1 * h, axis=-1)  # (B,Nt)
+    degenerate = jnp.abs(a) < 1e-6  # strict ( > -1e-6 && < 1e-6 ), triangle.go:42
+    f = 1.0 / jnp.where(degenerate, 1.0, a)
+    s = origin[..., None, :] - v0  # (B,Nt,3)
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, edge1[None, ...] if edge1.ndim == 2 else edge1)
+    v = f * jnp.sum(d * q, axis=-1)
+    t = f * jnp.sum(edge2 * q, axis=-1)
+    valid = (~degenerate) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+    valid &= (t >= t_min) & (t <= t_max)
+    return jnp.where(valid, t, BIG)
+
+
+def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG) -> Hit:
+    """hitWorld (renderer.go:333-346): closest hit across all primitives."""
+    B = origin.shape[:-1]
+    ns = geom.sph_center.shape[0]
+    nt = geom.tri_v0.shape[0]
+
+    ts = []
+    if ns:
+        ts.append(sphere_t(origin, direction, geom.sph_center,
+                           geom.sph_radius, t_min, t_max))
+    if nt:
+        edge1 = geom.tri_v1 - geom.tri_v0
+        edge2 = geom.tri_v2 - geom.tri_v0
+        ts.append(triangle_t(origin, direction, geom.tri_v0, edge1, edge2,
+                             t_min, t_max))
+    if not ts:
+        zeros3 = jnp.zeros(B + (3,), origin.dtype)
+        return Hit(t=jnp.full(B, BIG, origin.dtype),
+                   hit=jnp.zeros(B, bool), point=zeros3, normal=zeros3,
+                   front_face=jnp.zeros(B, bool),
+                   mat_id=jnp.zeros(B, jnp.int32))
+
+    all_t = jnp.concatenate(ts, axis=-1)  # (B, Ns+Nt)
+    idx = jnp.argmin(all_t, axis=-1)  # first minimum wins
+    t = jnp.take_along_axis(all_t, idx[..., None], axis=-1)[..., 0]
+    hit = t < BIG
+
+    point = origin + direction * t[..., None]
+
+    is_sphere = idx < ns if ns else jnp.zeros(B, bool)
+    sph_idx = jnp.minimum(idx, max(ns - 1, 0))
+    tri_idx = jnp.clip(idx - ns, 0, max(nt - 1, 0))
+
+    if ns:
+        c = jnp.take(geom.sph_center, sph_idx, axis=0)
+        r = jnp.take(geom.sph_radius, sph_idx, axis=0)
+        # outwardNormal = (point - center) / radius (sphere.go:44)
+        n_sph = (point - c) / r[..., None]
+        m_sph = jnp.take(geom.sph_mat, sph_idx, axis=0)
+    else:
+        n_sph = jnp.zeros(B + (3,), origin.dtype)
+        m_sph = jnp.zeros(B, jnp.int32)
+    if nt:
+        n_tri = jnp.take(geom.tri_normal, tri_idx, axis=0)
+        m_tri = jnp.take(geom.tri_mat, tri_idx, axis=0)
+    else:
+        n_tri = jnp.zeros(B + (3,), origin.dtype)
+        m_tri = jnp.zeros(B, jnp.int32)
+
+    outward = jnp.where(is_sphere[..., None], n_sph, n_tri)
+    mat_id = jnp.where(is_sphere, m_sph, m_tri)
+    front_face = _dot(direction, outward) < 0.0
+    normal = jnp.where(front_face[..., None], outward, -outward)
+
+    return Hit(t=t, hit=hit, point=point, normal=normal,
+               front_face=front_face, mat_id=mat_id.astype(jnp.int32))
+
+
+def any_hit(geom, origin, direction, t_min, t_max):
+    """Occlusion test: does any primitive intersect in (t_min, t_max)?
+
+    Shadow rays only need existence (renderer.go:303-309), not the closest
+    record - an any-hit reduce is cheaper than argmin+gathers.
+    t_max may be per-lane: shape (B,) or scalar.
+    """
+    t_max = jnp.asarray(t_max)
+    tm = t_max[..., None] if t_max.ndim else t_max
+    blocked = jnp.zeros(origin.shape[:-1], bool)
+    ns = geom.sph_center.shape[0]
+    nt = geom.tri_v0.shape[0]
+    if ns:
+        t = sphere_t(origin, direction, geom.sph_center, geom.sph_radius,
+                     t_min, tm)
+        blocked |= jnp.any(t < BIG, axis=-1)
+    if nt:
+        edge1 = geom.tri_v1 - geom.tri_v0
+        edge2 = geom.tri_v2 - geom.tri_v0
+        t = triangle_t(origin, direction, geom.tri_v0, edge1, edge2, t_min, tm)
+        blocked |= jnp.any(t < BIG, axis=-1)
+    return blocked

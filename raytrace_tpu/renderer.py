@@ -1,0 +1,268 @@
+"""Render driver: tiles -> sharded/banded SPMD wavefronts.
+
+The reference's 32x32-tile goroutine pool (renderer.go:76-99, 398-436)
+dissolves into array programs: a band of image rows x all samples becomes one
+wavefront batch; bands are a host-side loop over one compiled XLA program.
+Banding (instead of whole-image launch) keeps per-launch memory bounded AND
+lets the while-loop early-exit fire per band - sky-heavy bands finish in one
+bounce instead of being held hostage by the deepest lane in the image.
+
+Per-pixel Monte Carlo accumulation is associative, so bands/samples can be
+re-ordered, sharded, checkpointed and resumed freely (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import camera as cam_mod
+from . import rng
+from . import trace as trace_mod
+from .ops import tonemap
+from .utils import image as image_util
+
+
+@dataclasses.dataclass
+class BenchmarkData:
+    """Parity with renderer.go:31-42 (JSON keys identical)."""
+
+    scene_name: str = ""
+    resolution: str = ""
+    render_time_seconds: float = 0.0
+    samples: int = 0
+    max_depth: int = 0
+    num_workers: int = 0
+    objects: int = 0
+    lights: int = 0
+    timestamp: str = ""
+    features: tuple = (
+        "Improved metallic reflections with Fresnel effect",
+        "Shiny materials with configurable roughness and specular",
+        "Enhanced light source reflections",
+        "Better specular highlights for metallic surfaces",
+    )
+
+    def to_json(self) -> str:
+        d = {
+            "scene_name": self.scene_name,
+            "resolution": self.resolution,
+            "render_time_seconds": self.render_time_seconds,
+            "samples": self.samples,
+            "max_depth": self.max_depth,
+            "num_workers": self.num_workers,
+            "objects": self.objects,
+            "lights": self.lights,
+            "timestamp": self.timestamp,
+            "features": list(self.features),
+        }
+        return json.dumps(d, indent=2)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "band_h", "samples",
+                                   "cfg", "go_camera"))
+def render_band(scene, band_y0, *, width: int, height: int, band_h: int,
+                samples: int, cfg: trace_mod.TraceConfig,
+                go_camera: bool = True):
+    """Render `band_h` rows starting at row band_y0 (traced scalar).
+
+    Returns mean linear radiance per pixel, shape (band_h, width, 3).
+    Lane layout: (band_h * width * samples,), pixel-major.
+    """
+    dtype = scene.geometry.sph_center.dtype
+    n_px = band_h * width
+    ys = band_y0 + jax.lax.broadcasted_iota(jnp.int32, (band_h, width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (band_h, width), 1)
+    pix_flat = (ys * width + xs).reshape(-1).astype(jnp.uint32)  # (n_px,)
+
+    pix_id = jnp.repeat(pix_flat, samples)  # (n_px * samples,)
+    samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
+
+    # Sub-pixel jitter (renderer.go:154-157; the antiAliasing flag is never
+    # read by the reference - jitter is unconditional).
+    ju, jv, _, _ = rng.uniform4(pix_id, samp_id, rng.Streams.CAMERA_JITTER,
+                                cfg.seed)
+    x = (pix_id % np.uint32(width)).astype(dtype)
+    y = (pix_id // np.uint32(width)).astype(dtype)
+    u = (x + ju) / width
+    v = (y + jv) / height
+
+    rays = cam_mod.go_rays if go_camera else cam_mod.lookat_rays
+    origin, direction = rays(scene.camera, u, v)
+
+    radiance = trace_mod.trace(scene, origin, direction, pix_id, samp_id, cfg)
+    mean = radiance.reshape(n_px, samples, 3).mean(axis=1)
+    return mean.reshape(band_h, width, 3)
+
+
+def pick_band_height(width: int, height: int, samples: int,
+                     lane_budget: int = 1 << 21) -> int:
+    """Largest row band whose wavefront stays under the lane budget."""
+    rows = max(1, lane_budget // max(1, width * samples))
+    return int(min(rows, height))
+
+
+class Renderer:
+    """Drop-in equivalent of ParallelRenderer (renderer.go:20-126).
+
+    `num_workers` is accepted for CLI parity; on TPU the worker count is the
+    device mesh (reported in benchmark data as the local device count).
+    """
+
+    def __init__(self, num_workers: Optional[int] = None):
+        self.num_workers = num_workers or jax.local_device_count()
+        self.max_depth = 50
+        self.samples = 100
+        self.anti_aliasing = True            # stored, never read (parity:
+        self.recursive_reflections = True    # settings.go:3-25, renderer.go:154)
+        self.soft_shadows = True
+        self.depth_of_field = False
+        self.seed = 0
+        self.go_camera = True
+        self.fast_mc = False  # enable expectation-preserving accelerators
+        self.benchmark_data = BenchmarkData()
+        self.progress_callback = None  # fn(done_rows, total_rows)
+
+    # -- settings parity (settings.go:3-25) --------------------------------
+    def set_samples(self, n):
+        self.samples = int(n)
+
+    def set_max_depth(self, n):
+        self.max_depth = int(n)
+
+    def set_anti_aliasing(self, b):
+        self.anti_aliasing = bool(b)
+
+    def set_recursive_reflections(self, b):
+        self.recursive_reflections = bool(b)
+
+    def set_soft_shadows(self, b):
+        self.soft_shadows = bool(b)
+
+    def set_depth_of_field(self, b):
+        self.depth_of_field = bool(b)
+
+    def get_stats(self):
+        """settings.go:27-37."""
+        return {
+            "samples": self.samples,
+            "max_depth": self.max_depth,
+            "anti_aliasing": self.anti_aliasing,
+            "recursive_reflections": self.recursive_reflections,
+            "soft_shadows": self.soft_shadows,
+            "depth_of_field": self.depth_of_field,
+            "workers": self.num_workers,
+        }
+
+    def trace_config(self) -> trace_mod.TraceConfig:
+        return trace_mod.TraceConfig(
+            max_depth=self.max_depth,
+            soft_shadows=self.soft_shadows,
+            recursive_reflections=self.recursive_reflections,
+            seed=self.seed,
+            russian_roulette_start=8 if self.fast_mc else None,
+            throughput_epsilon=1e-4 if self.fast_mc else 0.0,
+        )
+
+    def render_linear(self, scene, width: int, height: int,
+                      band_h: Optional[int] = None) -> np.ndarray:
+        """Full-image mean linear radiance, (H,W,3) float32 numpy."""
+        cfg = self.trace_config()
+        bh = band_h or pick_band_height(width, height, self.samples)
+        out = np.zeros((height, width, 3), np.float32)
+        futures = []
+        for y0 in range(0, height, bh):
+            rows = min(bh, height - y0)
+            if rows != bh:
+                # Ragged last band: render at full band height, crop. Same
+                # compiled program; rows below the image are wasted lanes.
+                band = render_band(scene, jnp.int32(min(y0, height - bh)),
+                                   width=width, height=height, band_h=bh,
+                                   samples=self.samples, cfg=cfg,
+                                   go_camera=self.go_camera)
+                futures.append((height - bh, band))
+            else:
+                band = render_band(scene, jnp.int32(y0), width=width,
+                                   height=height, band_h=bh,
+                                   samples=self.samples, cfg=cfg,
+                                   go_camera=self.go_camera)
+                futures.append((y0, band))
+            if self.progress_callback:
+                self.progress_callback(min(y0 + bh, height), height)
+        for y0, band in futures:
+            out[y0:y0 + bh] = np.asarray(band)
+        return out
+
+    def render(self, scene, width: int, height: int,
+               scene_config=None) -> np.ndarray:
+        """Render to an (H,W,3) uint8 image, updating benchmark data.
+
+        Scene-config renderer blocks (samples/maxDepth/...) are honored when
+        provided - the Go loader drops them (scene.go:12-16); we don't.
+        """
+        if scene_config is not None and scene_config.renderer:
+            rb = scene_config.renderer
+            if "samples" in rb:
+                self.set_samples(rb["samples"])
+            if "maxDepth" in rb:
+                self.set_max_depth(rb["maxDepth"])
+            if "antiAliasing" in rb:
+                self.set_anti_aliasing(rb["antiAliasing"])
+            if "recursiveReflections" in rb:
+                self.set_recursive_reflections(rb["recursiveReflections"])
+            if "softShadows" in rb:
+                self.set_soft_shadows(rb["softShadows"])
+
+        t0 = time.perf_counter()
+        linear = self.render_linear(scene, width, height)
+        img = np.asarray(tonemap.to_rgb8(tonemap.tonemap(jnp.asarray(linear))))
+        dt = time.perf_counter() - t0
+
+        bd = self.benchmark_data
+        bd.scene_name = "demo_scene"  # GetSceneName() parity (scene.go:100-102)
+        bd.resolution = f"{width}x{height}"
+        bd.render_time_seconds = dt
+        bd.samples = self.samples
+        bd.max_depth = self.max_depth
+        bd.num_workers = self.num_workers
+        bd.objects = scene.sph_count + scene.mesh_count
+        bd.lights = int(scene.lights.position.shape[0])
+        bd.timestamp = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+        return img
+
+    # -- IO parity ----------------------------------------------------------
+    def save_image(self, img: np.ndarray, filename: str):
+        """SaveImage (renderer.go:438-451)."""
+        os.makedirs(os.path.dirname(filename) or ".", exist_ok=True)
+        image_util.write_png(filename, img)
+
+    def save_benchmark_data(self, path: str):
+        """SaveBenchmarkData (renderer.go:473-485)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.benchmark_data.to_json())
+
+    def print_ascii_preview(self, img: np.ndarray):
+        """PrintASCIIPreview (renderer.go:453-471)."""
+        chars = " .:-=+*#%@"
+        h, w = img.shape[:2]
+        lines = []
+        for y in range(0, h, 2):
+            row = []
+            for x in range(w):
+                # Go reads 16-bit RGBA and averages (renderer.go:461-462).
+                r, g, b = (int(v) * 257 for v in img[y, x][:3])
+                brightness = (r + g + b) / 3.0
+                ci = min(int(brightness * (len(chars) - 1) / 65535.0),
+                         len(chars) - 1)
+                row.append(chars[ci])
+            lines.append("".join(row))
+        print("\n".join(lines))

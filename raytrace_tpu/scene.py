@@ -1,0 +1,259 @@
+"""Scene schema + loader: JSON -> struct-of-arrays pytree.
+
+Mirrors the reference JSON schema (internal/scene/scene.go:12-39) but honors
+the full schema superset that the Go loader silently drops:
+  * ``triangularPrism`` objects (dropped at scene.go:80-83 even though the
+    demo scene demo-assets/final_silver_prism_purple_cube_.json:35,48 uses
+    them) - implemented here, gated by ``go_parity`` to reproduce the skip.
+  * ``renderer`` / ``atmospheric`` / ``volumetric`` / ``fog`` / post-FX
+    blocks (absent from the Go struct at scene.go:12-16) - parsed and
+    surfaced so the renderer/effects pipeline can honor them.
+
+Geometry becomes flat SoA arrays: spheres as (center, radius, mat_id) and all
+mesh triangles flattened into one (v0, v1, v2, normal, mat_id) table; the Go
+per-mesh linear scan (scene.go:196-209) is equivalent to a flat closest-hit
+over the concatenation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models import materials as mat_mod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Camera parameters (scene.go:18-24). Arrays so they are differentiable."""
+
+    position: jax.Array      # (3,)
+    look_at: jax.Array       # (3,)
+    up: jax.Array            # (3,)
+    fov: jax.Array           # ()
+    aspect_ratio: jax.Array  # ()
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Geometry:
+    """Flat SoA scene geometry."""
+
+    sph_center: jax.Array   # (Ns,3)
+    sph_radius: jax.Array   # (Ns,)
+    sph_mat: jax.Array      # (Ns,) int32
+    tri_v0: jax.Array       # (Nt,3)
+    tri_v1: jax.Array       # (Nt,3)
+    tri_v2: jax.Array       # (Nt,3)
+    tri_normal: jax.Array   # (Nt,3) unit face normal (loader-built triangles
+                            # share one normal across vertices, triangle.go:13-20,
+                            # so barycentric interpolation is the identity)
+    tri_mat: jax.Array      # (Nt,) int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Lights:
+    """Point lights (scene.go:34-39)."""
+
+    position: jax.Array   # (L,3)
+    color: jax.Array      # (L,3)
+    intensity: jax.Array  # (L,)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    camera: Camera
+    geometry: Geometry
+    materials: mat_mod.MaterialTable
+    lights: Lights
+
+    @property
+    def num_objects(self) -> int:
+        # "objects" in the Go benchmark JSON counts hittables (spheres +
+        # meshes), not triangles (renderer.go:109). Tracked host-side.
+        return int(self.sph_count + self.mesh_count)
+
+    # host-side metadata (static, not part of the pytree) ------------------
+    # set via object.__setattr__ in load; defaults for constructed scenes
+    sph_count: int = dataclasses.field(default=0, metadata=dict(static=True))
+    mesh_count: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+def _vec3(v, default=(0.0, 0.0, 0.0)) -> List[float]:
+    if v is None:
+        return list(default)
+    if isinstance(v, dict):
+        return [float(v.get("X", 0)), float(v.get("Y", 0)), float(v.get("Z", 0))]
+    return [float(v[0]), float(v[1]), float(v[2])]
+
+
+def _cube_triangles(position, size):
+    """Cube -> 12 triangles, exact vertex/face ordering of scene.go:150-185."""
+    px, py, pz = position
+    hx, hy, hz = size[0] / 2.0, size[1] / 2.0, size[2] / 2.0
+    verts = np.array([
+        [px - hx, py - hy, pz - hz],
+        [px + hx, py - hy, pz - hz],
+        [px + hx, py + hy, pz - hz],
+        [px - hx, py + hy, pz - hz],
+        [px - hx, py - hy, pz + hz],
+        [px + hx, py - hy, pz + hz],
+        [px + hx, py + hy, pz + hz],
+        [px - hx, py + hy, pz + hz],
+    ])
+    faces = [[0, 1, 2, 3], [1, 5, 6, 2], [5, 4, 7, 6],
+             [4, 0, 3, 7], [3, 2, 6, 7], [4, 5, 1, 0]]
+    tris = []
+    for f in faces:
+        v0, v1, v2, v3 = (verts[i] for i in f)
+        tris.append((v0, v1, v2))
+        tris.append((v0, v2, v3))
+    return tris
+
+
+def _prism_triangles(vertices):
+    """Triangular prism (6 vertices: front face 0-2, back face 3-5) -> 8 tris.
+
+    The Go loader has no prism support (silently skipped, scene.go:80-83);
+    this realizes the advertised object type: two triangular caps + three
+    quad sides split into triangles.
+    """
+    v = [np.asarray(_vec3(p)) for p in vertices]
+    tris = [
+        (v[0], v[1], v[2]),              # front cap
+        (v[3], v[5], v[4]),              # back cap (reversed winding)
+        (v[0], v[3], v[4]), (v[0], v[4], v[1]),  # bottom side
+        (v[1], v[4], v[5]), (v[1], v[5], v[2]),  # slanted side
+        (v[2], v[5], v[3]), (v[2], v[3], v[0]),  # other slanted side
+    ]
+    return tris
+
+
+def _face_normal(v0, v1, v2):
+    n = np.cross(v1 - v0, v2 - v0)
+    ln = np.linalg.norm(n)
+    return n / ln if ln > 0 else n
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    """Host-side config blocks the Go struct drops (scene.go:12-16)."""
+
+    renderer: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    atmospheric: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    volumetric: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    fog: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    effects: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    name: str = "demo_scene"  # GetSceneName() is hardcoded (scene.go:100-102)
+
+
+def from_dict(data: Dict[str, Any], go_parity: bool = False,
+              dtype=jnp.float32):
+    """Build (Scene, SceneConfig) from a parsed scene dict.
+
+    go_parity=True reproduces the reference loader exactly, including
+    silently skipping unknown object types such as triangularPrism.
+    """
+    cam_d = data.get("camera", {})
+    camera = Camera(
+        position=jnp.asarray(_vec3(cam_d.get("position")), dtype),
+        look_at=jnp.asarray(_vec3(cam_d.get("lookAt")), dtype),
+        up=jnp.asarray(_vec3(cam_d.get("up"), (0, 1, 0)), dtype),
+        fov=jnp.asarray(float(cam_d.get("fov", 60.0)), dtype),
+        aspect_ratio=jnp.asarray(float(cam_d.get("aspectRatio", 1.0)), dtype),
+    )
+
+    mat_rows = []
+    sph_c, sph_r, sph_m = [], [], []
+    tri_v0, tri_v1, tri_v2, tri_n, tri_m = [], [], [], [], []
+    sph_count = 0
+    mesh_count = 0
+
+    def add_material(mdata) -> int:
+        mat_rows.append(mat_mod.material_row(mdata or {"type": "lambertian"}))
+        return len(mat_rows) - 1
+
+    def add_tris(tris, mid):
+        for v0, v1, v2 in tris:
+            tri_v0.append(v0)
+            tri_v1.append(v1)
+            tri_v2.append(v2)
+            tri_n.append(_face_normal(np.asarray(v0, np.float64),
+                                      np.asarray(v1, np.float64),
+                                      np.asarray(v2, np.float64)))
+            tri_m.append(mid)
+
+    for obj in data.get("objects", []):
+        otype = str(obj.get("type", "")).lower()
+        if otype == "sphere":
+            mid = add_material(obj.get("material"))
+            sph_c.append(_vec3(obj.get("position")))
+            sph_r.append(float(obj.get("radius", 1.0)))
+            sph_m.append(mid)
+            sph_count += 1
+        elif otype == "cube":
+            mid = add_material(obj.get("material"))
+            add_tris(_cube_triangles(_vec3(obj.get("position")),
+                                     _vec3(obj.get("size"), (1, 1, 1))), mid)
+            mesh_count += 1
+        elif otype == "triangularprism" and not go_parity:
+            mid = add_material(obj.get("material"))
+            add_tris(_prism_triangles(obj.get("vertices", [])), mid)
+            mesh_count += 1
+        else:
+            # Unknown type: skipped, same as scene.go:80-83.
+            continue
+
+    lights_d = data.get("lights", [])
+    l_pos = [_vec3(l.get("position")) for l in lights_d]
+    l_col = [_vec3(l.get("color"), (1, 1, 1)) for l in lights_d]
+    l_int = [float(l.get("intensity", 1.0)) for l in lights_d]
+
+    def arr(x, shape, dt=dtype):
+        return jnp.asarray(np.array(x, np.float64).reshape(shape), dt)
+
+    ns, nt, nl = len(sph_c), len(tri_v0), len(l_pos)
+    geometry = Geometry(
+        sph_center=arr(sph_c, (ns, 3)),
+        sph_radius=arr(sph_r, (ns,)),
+        sph_mat=jnp.asarray(np.array(sph_m, np.int32).reshape(ns), jnp.int32),
+        tri_v0=arr(tri_v0, (nt, 3)),
+        tri_v1=arr(tri_v1, (nt, 3)),
+        tri_v2=arr(tri_v2, (nt, 3)),
+        tri_normal=arr(tri_n, (nt, 3)),
+        tri_mat=jnp.asarray(np.array(tri_m, np.int32).reshape(nt), jnp.int32),
+    )
+    lights = Lights(
+        position=arr(l_pos, (nl, 3)),
+        color=arr(l_col, (nl, 3)),
+        intensity=arr(l_int, (nl,)),
+    )
+    scene = Scene(camera=camera, geometry=geometry,
+                  materials=mat_mod.build_table(mat_rows, dtype),
+                  lights=lights, sph_count=sph_count, mesh_count=mesh_count)
+
+    cfg = SceneConfig(
+        renderer=data.get("renderer", {}) or {},
+        atmospheric=data.get("atmospheric", {}) or {},
+        volumetric=data.get("volumetric", {}) or {},
+        fog=data.get("fog", {}) or {},
+        effects={k: data.get(k, {}) or {} for k in
+                 ("motionBlur", "depthOfField", "lensFlare", "bloom",
+                  "chromaticAberration", "vignette")},
+    )
+    return scene, cfg
+
+
+def load(path: str, go_parity: bool = False, dtype=jnp.float32):
+    """LoadFromFile equivalent (scene.go:45-57)."""
+    with open(path) as f:
+        data = json.load(f)
+    return from_dict(data, go_parity=go_parity, dtype=dtype)
