@@ -88,7 +88,8 @@ def read_png(path: str) -> np.ndarray:
             out[y] = line
         elif f == 1:  # Sub
             for x in range(stride):
-                line[x] = (line[x] + (out[y, x - bpp] if x >= bpp else 0)) & 0xFF
+                line[x] = (int(line[x])
+                           + (int(out[y, x - bpp]) if x >= bpp else 0)) & 0xFF
                 out[y, x] = line[x]
         elif f == 2:  # Up
             out[y] = (line.astype(np.int32) + prev) & 0xFF
@@ -105,7 +106,7 @@ def read_png(path: str) -> np.ndarray:
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
+                line[x] = (int(line[x]) + pred) & 0xFF
                 out[y, x] = line[x]
         else:
             raise ValueError(f"unknown PNG filter {f}")
