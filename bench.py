@@ -1,0 +1,69 @@
+"""Headline benchmark: sphere_reflections_light @ 800x600, 100 spp, depth 50.
+
+Prints ONE JSON line:
+  {"metric": "rays_per_second", "value": N, "unit": "camera_samples/s",
+   "vs_baseline": N / 19786768}
+
+Metric definition matches the reference exactly: rays/s = pixels/s * spp,
+counting camera samples only, not bounce rays (cmd/benchmark/main.go:125-127;
+BASELINE.md). Baseline = 19,786,768 rays/s (Go, 6 CPU workers,
+README.md:61).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+GO_BASELINE_RAYS_PER_S = 19_786_768.0
+W, H, SPP, DEPTH = 800, 600, 100, 50
+
+
+def find_scene() -> str:
+    for p in ("/root/reference/demo-assets/sphere_reflections_light.json",
+              os.path.join(os.path.dirname(__file__),
+                           "assets/sphere_reflections_light.json")):
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError("sphere_reflections_light.json not found")
+
+
+def main() -> int:
+    import raytrace_tpu as rt
+
+    with open(find_scene()) as f:
+        data = json.load(f)
+    # The shipped camera position [0,0,-8] faces AWAY from the scene under
+    # the reference's fixed -Z viewport camera (renderer.go:377-390 ignores
+    # lookAt): every ray misses and the "render" is trivially black. Mirror
+    # to +Z (the framing the demo PNG shows) so the benchmark measures real
+    # path-tracing work - 5 spheres, 2 lights, metal+glass, soft shadows.
+    data["camera"]["position"] = [0, 0, 8]
+    scene, _ = rt.scene_from_dict(data)
+    r = rt.Renderer()
+    r.set_samples(SPP)
+    r.set_max_depth(DEPTH)
+
+    # Warmup: compile + one full render.
+    r.render_linear(scene, W, H)
+
+    best = float("inf")
+    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+        t0 = time.perf_counter()
+        r.render_linear(scene, W, H)
+        best = min(best, time.perf_counter() - t0)
+
+    rays_per_s = W * H * SPP / best
+    print(json.dumps({
+        "metric": "rays_per_second",
+        "value": round(rays_per_s, 1),
+        "unit": "camera_samples/s",
+        "vs_baseline": round(rays_per_s / GO_BASELINE_RAYS_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -191,7 +191,9 @@ def _refract(v, n, eta):
     cos2 = jnp.where(flip, -cos, cos)
     sin_t2 = eta2 * eta2 * (1.0 - cos2 * cos2)
     tir = sin_t2 > 1.0
-    cos_t2 = jnp.sqrt(jnp.maximum(1.0 - jnp.minimum(sin_t2, 1.0), 0.0))
+    # Double-where keeps reverse-mode AD NaN-free at the TIR boundary
+    # (sqrt'(0) = inf would otherwise leak through the select below).
+    cos_t2 = jnp.sqrt(jnp.where(tir, 1.0, jnp.maximum(1.0 - sin_t2, 0.0)))
     refracted = v * eta2 - n2 * (eta2 * cos2 + cos_t2)
     return jnp.where(tir, _reflect(v, n2), refracted)
 

@@ -58,7 +58,10 @@ def sphere_t(origin, direction, center, radius, t_min, t_max):
     c = _dot(oc, oc) - radius * radius  # (B,Ns)
     disc = half_b * half_b - a * c
     ok = disc >= 0.0
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # Double-where: sqrt's gradient at 0 is inf, and a plain
+    # sqrt(max(disc,0)) poisons reverse-mode AD with inf*0=NaN on every
+    # missing lane. Clamp the *input* on masked lanes instead.
+    sqrtd = jnp.sqrt(jnp.where(ok, disc, 1.0))
     inv_a = 1.0 / a
     root0 = (-half_b - sqrtd) * inv_a
     root1 = (-half_b + sqrtd) * inv_a

@@ -67,6 +67,30 @@ class BenchmarkData:
         return json.dumps(d, indent=2)
 
 
+def lane_radiance(scene, pix_id, samp_id, *, width: int, height: int,
+                  cfg: trace_mod.TraceConfig, go_camera: bool = True):
+    """Radiance for a flat wavefront of (pixel, sample) lanes, (B,3).
+
+    The shared lane pipeline: sub-pixel jitter (renderer.go:154-157; the
+    antiAliasing flag is never read by the reference - jitter is
+    unconditional) -> camera rays -> wavefront trace. Used by both the
+    single-chip band driver and the sharded SPMD driver (parallel/shard.py);
+    because the RNG is a pure function of (pix_id, samp_id), results are
+    bit-identical under any sharding of the lanes.
+    """
+    dtype = scene.geometry.sph_center.dtype
+    ju, jv, _, _ = rng.uniform4(pix_id, samp_id, rng.Streams.CAMERA_JITTER,
+                                cfg.seed)
+    x = (pix_id % np.uint32(width)).astype(dtype)
+    y = (pix_id // np.uint32(width)).astype(dtype)
+    u = (x + ju) / width
+    v = (y + jv) / height
+
+    rays = cam_mod.go_rays if go_camera else cam_mod.lookat_rays
+    origin, direction = rays(scene.camera, u, v)
+    return trace_mod.trace(scene, origin, direction, pix_id, samp_id, cfg)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "band_h", "samples",
                                    "cfg", "go_camera"))
 def render_band(scene, band_y0, *, width: int, height: int, band_h: int,
@@ -77,7 +101,6 @@ def render_band(scene, band_y0, *, width: int, height: int, band_h: int,
     Returns mean linear radiance per pixel, shape (band_h, width, 3).
     Lane layout: (band_h * width * samples,), pixel-major.
     """
-    dtype = scene.geometry.sph_center.dtype
     n_px = band_h * width
     ys = band_y0 + jax.lax.broadcasted_iota(jnp.int32, (band_h, width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (band_h, width), 1)
@@ -86,19 +109,8 @@ def render_band(scene, band_y0, *, width: int, height: int, band_h: int,
     pix_id = jnp.repeat(pix_flat, samples)  # (n_px * samples,)
     samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
 
-    # Sub-pixel jitter (renderer.go:154-157; the antiAliasing flag is never
-    # read by the reference - jitter is unconditional).
-    ju, jv, _, _ = rng.uniform4(pix_id, samp_id, rng.Streams.CAMERA_JITTER,
-                                cfg.seed)
-    x = (pix_id % np.uint32(width)).astype(dtype)
-    y = (pix_id // np.uint32(width)).astype(dtype)
-    u = (x + ju) / width
-    v = (y + jv) / height
-
-    rays = cam_mod.go_rays if go_camera else cam_mod.lookat_rays
-    origin, direction = rays(scene.camera, u, v)
-
-    radiance = trace_mod.trace(scene, origin, direction, pix_id, samp_id, cfg)
+    radiance = lane_radiance(scene, pix_id, samp_id, width=width,
+                             height=height, cfg=cfg, go_camera=go_camera)
     mean = radiance.reshape(n_px, samples, 3).mean(axis=1)
     return mean.reshape(band_h, width, 3)
 

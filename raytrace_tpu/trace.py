@@ -150,12 +150,19 @@ def trace(scene, origin, direction, pix_id, samp_id, cfg: TraceConfig):
     origin/direction: (B,3) camera rays (direction unnormalized, parity).
     pix_id/samp_id: (B,) uint32 lane identities for the counter-based RNG.
     """
+    # Derive the init carry from the direction array (direction*0, not
+    # zeros_like) so its varying-manual-axes type matches the loop body
+    # under shard_map: zeros_like/ones_like produce unvarying constants -
+    # and origin itself is unvarying (broadcast from the replicated camera
+    # position) - which the while_loop carry type check rejects inside a
+    # mesh region. direction always depends on the (varying) pixel ids.
+    zero3 = direction * 0.0
     st0 = _State(
-        origin=origin,
+        origin=origin + zero3,
         direction=direction,
-        throughput=jnp.ones_like(origin),
-        radiance=jnp.zeros_like(origin),
-        alive=jnp.ones(origin.shape[:-1], bool),
+        throughput=zero3 + 1.0,
+        radiance=zero3,
+        alive=jnp.sum(zero3, axis=-1) == 0.0,
     )
 
     if cfg.loop == "while":

@@ -1,0 +1,148 @@
+"""Differentiability tests: AD vs finite differences, inverse rendering.
+
+The gradient gate from BASELINE.json: pixel gradients w.r.t. material
+albedo, light intensity/position, sphere center/radius must match central
+finite differences within tolerance on smooth parameters.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import raytrace_tpu as rt
+from raytrace_tpu import diff as diff_mod
+from raytrace_tpu import trace as trace_mod
+from raytrace_tpu import parallel
+
+
+CFG = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+W, H, SPP = 12, 8, 2
+
+
+@pytest.fixture(scope="module")
+def scene(simple_scene_dict):
+    s, _ = rt.scene_from_dict(simple_scene_dict)
+    return s
+
+
+@pytest.fixture(scope="module")
+def grads(scene):
+    img, g = diff_mod.render_and_grad(scene, W, H, samples=SPP, cfg=CFG)
+    return np.asarray(img), g
+
+
+def _fd(scene, group, field, index, eps):
+    return diff_mod.finite_difference_grad(
+        scene, W, H, samples=SPP, cfg=CFG, group=group, field=field,
+        index=index, eps=eps)
+
+
+def _check(g_ad, g_fd, rtol=2e-2, atol=1e-4):
+    assert np.isfinite(g_ad) and np.isfinite(g_fd)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=rtol, atol=atol)
+
+
+def test_image_nonzero(grads):
+    img, _ = grads
+    assert img.max() > 0.05  # scene is actually visible
+
+
+@pytest.mark.parametrize("field,index,eps", [
+    ("albedo", (0, 0), 1e-3),
+    ("albedo", (0, 2), 1e-3),
+])
+def test_grad_albedo_vs_fd(scene, grads, field, index, eps):
+    _, g = grads
+    _check(float(np.asarray(g["materials"][field])[index]),
+           _fd(scene, "materials", field, index, eps))
+
+
+def test_grad_light_intensity_vs_fd(scene, grads):
+    _, g = grads
+    _check(float(np.asarray(g["lights"]["intensity"])[0]),
+           _fd(scene, "lights", "intensity", (0,), 1e-3))
+
+
+def test_grad_light_position_vs_fd(scene, grads):
+    _, g = grads
+    _check(float(np.asarray(g["lights"]["position"])[0, 1]),
+           _fd(scene, "lights", "position", (0, 1), 1e-3), rtol=5e-2)
+
+
+def test_grad_sphere_radius_vs_fd(scene, grads):
+    """Radius gradient through the smooth part of t(center, radius).
+
+    FD straddles the silhouette discontinuity (the hit/miss boundary moves
+    with radius) which pathwise AD does not see, so compare with a loose
+    tolerance on the smooth interior contribution.
+    """
+    _, g = grads
+    g_ad = float(np.asarray(g["geometry"]["sph_radius"])[0])
+    g_fd = _fd(scene, "geometry", "sph_radius", (0,), 1e-4)
+    assert np.isfinite(g_ad) and np.isfinite(g_fd)
+    # Same sign and order of magnitude (silhouette term excluded from AD).
+    assert abs(g_ad - g_fd) < 0.5 * max(1.0, abs(g_fd))
+
+
+def test_grad_sphere_center_finite(grads):
+    _, g = grads
+    assert np.isfinite(np.asarray(g["geometry"]["sph_center"])).all()
+
+
+def test_inverse_rendering_recovers_light_intensity(scene):
+    """Perturb the light intensity 3x, descend on MSE to the original image.
+
+    Intensity is the cleanest inverse-rendering parameter in the reference's
+    shading model (image is affine in it through the diffuse term,
+    renderer.go:259-276); albedo's effect is tiny because most of the image
+    is the constant ambient tier, so it makes a poor convergence test.
+    """
+    import optax
+    import dataclasses
+
+    target = np.asarray(diff_mod.render_image(scene, W, H, SPP, CFG))
+
+    true_int = np.asarray(scene.lights.intensity).copy()
+    bad = dataclasses.replace(
+        scene, lights=dataclasses.replace(
+            scene.lights, intensity=jnp.asarray(true_int * 3.0)))
+
+    state, step = diff_mod.make_train_step(
+        bad, target, width=W, height=H, samples=SPP, cfg=CFG,
+        optimizer=optax.adam(5e-2), trainable={"lights.intensity"})
+    losses = []
+    for _ in range(250):
+        state, loss = step(state)
+        losses.append(float(loss))
+    assert losses[-1] < 0.02 * losses[0], (losses[0], losses[-1])
+    rec = np.asarray(state.params["lights"]["intensity"])
+    np.testing.assert_allclose(rec, true_int, rtol=0.1)
+
+
+def test_sharded_train_step_matches_single(scene):
+    """psum'ed multi-device gradients == single-device gradients."""
+    import optax
+
+    target = np.zeros((H, W, 3), np.float32)
+    opt = optax.sgd(1e-2)
+
+    s0, step0 = diff_mod.make_train_step(
+        scene, target, width=W, height=H, samples=SPP, cfg=CFG,
+        optimizer=opt)
+    s0, loss0 = step0(s0)
+
+    mesh = parallel.make_mesh(px=4, sp=2)
+    s1, step1 = diff_mod.make_train_step(
+        scene, target, width=W, height=H, samples=SPP, cfg=CFG,
+        optimizer=opt, mesh=mesh)
+    s1, loss1 = step1(s1)
+
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
+    flat0 = jax.tree.leaves(s0.params)
+    flat1 = jax.tree.leaves(s1.params)
+    # psum reduction order perturbs near-zero float32 gradients; compare
+    # with an absolute tolerance sized to the SGD step (lr * grad noise).
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=2e-5)
