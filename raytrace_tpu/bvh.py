@@ -1,0 +1,392 @@
+"""Spatial acceleration: BVH / Octree / KD-tree, built working.
+
+The reference's internal/optimization/spatial_acceleration.go never
+compiled (it calls BoundingBox()/AABB.Hit() methods that do not exist -
+SURVEY.md §2.3) and its Octree child-offset math was wrong
+(spatial_acceleration.go:115-119 uses i&2, i&4 as -1/-2 offsets). This
+module is the real thing, designed TPU-first:
+
+  * build on host (numpy) with the same median-split-on-longest-axis
+    policy the reference intended (spatial_acceleration.go:16-43);
+  * flatten to arrays in DFS order with skip ("escape") pointers so
+    traversal is STACKLESS: a lane either advances to the next node (hit)
+    or jumps the whole subtree (miss) - a single per-lane integer cursor,
+    ideal for lax.while_loop / Pallas;
+  * ``closest_hit_bvh`` is the batched traversal (all lanes step their
+    cursors in lockstep until every lane is done);
+  * Octree (correct child-center math) and KD-tree (depth-mod-3 axis,
+    midpoint split) are provided for API parity, with query helpers.
+
+For the demo scenes (<=30 primitives) brute force is faster and exactly
+matches hitWorld (renderer.go:333-346); the renderer keeps brute force
+below ``BVH_THRESHOLD`` primitives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BVH_THRESHOLD = 64  # below this, brute force wins on TPU
+_BIG = np.float32(3.0e38)
+
+
+# ---------------------------------------------------------------------------
+# Flat BVH
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FlatBVH:
+    """DFS-ordered nodes with skip pointers; leaves index a permutation
+    of the primitive array."""
+
+    node_min: jax.Array    # (N,3) AABB lower corner
+    node_max: jax.Array    # (N,3) AABB upper corner
+    node_skip: jax.Array   # (N,) node to jump to when the AABB misses
+    node_first: jax.Array  # (N,) first primitive slot (leaves), else -1
+    node_count: jax.Array  # (N,) primitive count (0 for inner nodes)
+    prim_index: jax.Array  # (P,) permutation into the original primitives
+
+
+def _build_nodes(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
+    """Median-split recursion -> (nodes list, primitive permutation)."""
+    n = lo.shape[0]
+    order = np.arange(n)
+    nodes: List[Tuple[np.ndarray, np.ndarray, int, int]] = []
+    perm: List[int] = []
+
+    ends: dict = {}
+
+    def rec(idx: np.ndarray) -> int:
+        my = len(nodes)
+        bmin = lo[idx].min(axis=0)
+        bmax = hi[idx].max(axis=0)
+        nodes.append([bmin, bmax, -1, 0, -1])  # min,max,first,count,skip
+        if idx.size <= leaf_size:
+            nodes[my][2] = len(perm)
+            nodes[my][3] = idx.size
+            perm.extend(idx.tolist())
+        else:
+            centers = (lo[idx] + hi[idx]) * 0.5
+            axis = int(np.argmax(bmax - bmin))  # longest axis
+            med = np.argsort(centers[:, axis], kind="stable")
+            half = idx.size // 2
+            rec(idx[med[:half]])
+            rec(idx[med[half:]])
+        ends[my] = len(nodes)  # index just past my subtree (DFS layout)
+        return my
+
+    rec(order)
+    n_nodes = len(nodes)
+
+    # skip pointer: next node in DFS order that is NOT in my subtree -
+    # i.e. where traversal resumes when my AABB misses.
+    def assign_skip(i: int, skip: int) -> None:
+        nodes[i][4] = skip
+        if nodes[i][3] == 0:  # inner: left = i+1, right = end(left)
+            left = i + 1
+            left_end = ends[left]
+            assign_skip(left, left_end)
+            assign_skip(left_end, skip)
+
+    assign_skip(0, n_nodes)
+    return nodes, np.asarray(perm, np.int32)
+
+
+def build_bvh(lo: np.ndarray, hi: np.ndarray,
+              leaf_size: int = 4) -> FlatBVH:
+    """Build from per-primitive AABBs (P,3)+(P,3)."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    if lo.shape[0] == 0:
+        z = np.zeros((1, 3), np.float32)
+        return FlatBVH(jnp.asarray(z), jnp.asarray(z),
+                       jnp.asarray([1], jnp.int32),
+                       jnp.asarray([0], jnp.int32),
+                       jnp.asarray([0], jnp.int32),
+                       jnp.zeros((0,), jnp.int32))
+    nodes, perm = _build_nodes(lo, hi, leaf_size)
+    as_np = lambda i, dt=np.float32: np.asarray([n[i] for n in nodes], dt)
+    return FlatBVH(
+        node_min=jnp.asarray(as_np(0)),
+        node_max=jnp.asarray(as_np(1)),
+        node_skip=jnp.asarray(np.asarray([n[4] for n in nodes], np.int32)),
+        node_first=jnp.asarray(np.asarray([n[2] for n in nodes], np.int32)),
+        node_count=jnp.asarray(np.asarray([n[3] for n in nodes], np.int32)),
+        prim_index=jnp.asarray(perm),
+    )
+
+
+def build_sphere_bvh(centers: np.ndarray, radii: np.ndarray,
+                     leaf_size: int = 4) -> FlatBVH:
+    r = np.asarray(radii)[:, None]
+    c = np.asarray(centers)
+    return build_bvh(c - r, c + r, leaf_size)
+
+
+def build_triangle_bvh(v0, v1, v2, leaf_size: int = 4) -> FlatBVH:
+    lo = np.minimum(np.minimum(v0, v1), v2)
+    hi = np.maximum(np.maximum(v0, v1), v2)
+    return build_bvh(lo, hi, leaf_size)
+
+
+def _aabb_hit(bmin, bmax, o, inv_d, t_min, t_max):
+    """Slab test, vectorized over the trailing axis-3."""
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    near = jnp.maximum(jnp.max(tlo, axis=-1), t_min)
+    far = jnp.minimum(jnp.min(thi, axis=-1), t_max)
+    return near <= far
+
+
+def sphere_hit_t(origin, direction, center, radius, t_min, t_best):
+    """Per-lane single-sphere hit distance (BIG when none)."""
+    oc = origin - center
+    a = jnp.sum(direction * direction, axis=-1)
+    half_b = jnp.sum(oc * direction, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius * radius
+    disc = half_b * half_b - a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    r0 = (-half_b - sq) / a
+    r1 = (-half_b + sq) / a
+    in0 = ok & (r0 >= t_min) & (r0 <= t_best)
+    in1 = ok & (r1 >= t_min) & (r1 <= t_best)
+    return jnp.where(in0, r0, jnp.where(in1, r1, _BIG))
+
+
+def closest_hit_bvh(bvh: FlatBVH, centers, radii, origin, direction,
+                    t_min=1e-3, max_leaf: int = 4):
+    """Stackless closest-hit over a sphere BVH, batched over lanes.
+
+    Every lane walks its own cursor: AABB hit -> descend (cursor+1),
+    miss -> jump skip pointer; leaves test <= max_leaf primitives with
+    masked selects. Loop ends when all cursors reach the end. Returns
+    (t, prim_id) with t = BIG / prim_id = -1 on miss.
+    """
+    n_nodes = bvh.node_min.shape[0]
+    B = origin.shape[:-1]
+    inv_d = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)
+
+    def cond(c):
+        cursor = c[0]
+        return jnp.any(cursor < n_nodes)
+
+    def body(c):
+        cursor, t_best, best_id = c
+        cur = jnp.minimum(cursor, n_nodes - 1)
+        bmin = jnp.take(bvh.node_min, cur, axis=0)
+        bmax = jnp.take(bvh.node_max, cur, axis=0)
+        skip = jnp.take(bvh.node_skip, cur, axis=0)
+        first = jnp.take(bvh.node_first, cur, axis=0)
+        count = jnp.take(bvh.node_count, cur, axis=0)
+        active = cursor < n_nodes
+        hit_box = active & _aabb_hit(bmin, bmax, origin, inv_d, t_min,
+                                     t_best)
+        is_leaf = count > 0
+        # leaf: test up to max_leaf primitives
+        for j in range(max_leaf):
+            slot = jnp.minimum(first + j, bvh.prim_index.shape[0] - 1)
+            pid = jnp.take(bvh.prim_index, slot, axis=0)
+            cen = jnp.take(centers, pid, axis=0)
+            rad = jnp.take(radii, pid, axis=0)
+            t = sphere_hit_t(origin, direction, cen, rad, t_min, t_best)
+            valid = hit_box & is_leaf & (j < count) & (t < t_best)
+            t_best = jnp.where(valid, t, t_best)
+            best_id = jnp.where(valid, pid, best_id)
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(descend, cur + 1, skip)
+        cursor = jnp.where(active, nxt, cursor)
+        return cursor, t_best, best_id
+
+    cursor0 = jnp.zeros(B, jnp.int32)
+    t0 = jnp.full(B, _BIG)
+    id0 = jnp.full(B, -1, jnp.int32)
+    _, t, pid = jax.lax.while_loop(cond, body, (cursor0, t0, id0))
+    return t, pid
+
+
+# ---------------------------------------------------------------------------
+# Octree (correct child-center math, cf. spatial_acceleration.go:115-119)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class OctreeNode:
+    center: np.ndarray
+    half: float
+    depth: int
+    indices: List[int]
+    children: Optional[List["OctreeNode"]] = None
+
+
+class Octree:
+    """Host-side octree over AABBs (insert w/ subdivision)."""
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray,
+                 max_depth: int = 8, max_objects: int = 8):
+        self.lo = np.asarray(lo, np.float64)
+        self.hi = np.asarray(hi, np.float64)
+        self.max_depth = max_depth
+        self.max_objects = max_objects
+        world_lo = self.lo.min(axis=0) if len(self.lo) else np.zeros(3)
+        world_hi = self.hi.max(axis=0) if len(self.hi) else np.ones(3)
+        center = (world_lo + world_hi) / 2.0
+        half = float((world_hi - world_lo).max() / 2.0) or 1.0
+        self.root = OctreeNode(center, half, 0, [])
+        for i in range(len(self.lo)):
+            self._insert(self.root, i)
+
+    def _fits_child(self, node: OctreeNode, i: int, octant: int) -> bool:
+        c = self._child_center(node, octant)
+        h = node.half / 2.0
+        return bool(np.all(self.lo[i] >= c - h) and
+                    np.all(self.hi[i] <= c + h))
+
+    @staticmethod
+    def _child_center(node: OctreeNode, octant: int) -> np.ndarray:
+        # The reference's version used (i&2),(i&4) directly as offsets
+        # (values 0/2 and 0/4); the correct form is +-half/2 per axis:
+        h = node.half / 2.0
+        return node.center + np.array([
+            h if octant & 1 else -h,
+            h if octant & 2 else -h,
+            h if octant & 4 else -h,
+        ])
+
+    def _insert(self, node: OctreeNode, i: int) -> None:
+        if node.children is None:
+            node.indices.append(i)
+            if (len(node.indices) > self.max_objects
+                    and node.depth < self.max_depth):
+                self._subdivide(node)
+            return
+        for octant in range(8):
+            if self._fits_child(node, i, octant):
+                self._insert(node.children[octant], i)
+                return
+        node.indices.append(i)  # straddles children: stays here
+
+    def _subdivide(self, node: OctreeNode) -> None:
+        node.children = [
+            OctreeNode(self._child_center(node, o), node.half / 2.0,
+                       node.depth + 1, [])
+            for o in range(8)
+        ]
+        staying = []
+        for i in node.indices:
+            for octant in range(8):
+                if self._fits_child(node, i, octant):
+                    node.children[octant].indices.append(i)
+                    break
+            else:
+                staying.append(i)
+        node.indices = staying
+
+    def query_point(self, p: np.ndarray) -> List[int]:
+        """Objects whose AABB contains p."""
+        p = np.asarray(p, np.float64)
+        out: List[int] = []
+
+        def rec(node: OctreeNode):
+            if np.any(np.abs(p - node.center) > node.half):
+                return
+            for i in node.indices:
+                if np.all(self.lo[i] <= p) and np.all(p <= self.hi[i]):
+                    out.append(i)
+            if node.children:
+                for ch in node.children:
+                    rec(ch)
+
+        rec(self.root)
+        return sorted(out)
+
+    def node_count(self) -> int:
+        n = 0
+        stack = [self.root]
+        while stack:
+            node = stack.pop()
+            n += 1
+            if node.children:
+                stack.extend(node.children)
+        return n
+
+
+# ---------------------------------------------------------------------------
+# KD-tree (depth-mod-3 axis, midpoint split - spatial_acceleration.go:173-300)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class KDNode:
+    axis: int
+    split: float
+    indices: List[int]
+    left: Optional["KDNode"] = None
+    right: Optional["KDNode"] = None
+
+
+class KDTree:
+    """Host-side k-d tree over AABB centroids."""
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray,
+                 max_depth: int = 16, leaf_size: int = 8):
+        self.lo = np.asarray(lo, np.float64)
+        self.hi = np.asarray(hi, np.float64)
+        self.centers = (self.lo + self.hi) / 2.0
+        self.leaf_size = leaf_size
+        self.max_depth = max_depth
+        idx = list(range(len(self.lo)))
+        self.root = self._build(idx, 0)
+
+    def _build(self, idx: List[int], depth: int) -> Optional[KDNode]:
+        if not idx:
+            return None
+        axis = depth % 3
+        if len(idx) <= self.leaf_size or depth >= self.max_depth:
+            return KDNode(axis, 0.0, idx)
+        vals = self.centers[idx, axis]
+        split = float((vals.min() + vals.max()) / 2.0)  # midpoint
+        left = [i for i in idx if self.centers[i, axis] < split]
+        right = [i for i in idx if self.centers[i, axis] >= split]
+        if not left or not right:  # degenerate: leaf
+            return KDNode(axis, split, idx)
+        return KDNode(axis, split, [],
+                      self._build(left, depth + 1),
+                      self._build(right, depth + 1))
+
+    def query_range(self, lo, hi) -> List[int]:
+        """Objects whose AABB overlaps [lo, hi]."""
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        out: List[int] = []
+
+        def overlaps(i: int) -> bool:
+            return bool(np.all(self.lo[i] <= hi)
+                        and np.all(lo <= self.hi[i]))
+
+        def rec(node: Optional[KDNode]):
+            if node is None:
+                return
+            if node.left is None and node.right is None:
+                out.extend(i for i in node.indices if overlaps(i))
+                return
+            if lo[node.axis] < node.split:
+                rec(node.left)
+            if hi[node.axis] >= node.split:
+                rec(node.right)
+
+        rec(self.root)
+        return sorted(out)
+
+    def depth(self) -> int:
+        def rec(node, d):
+            if node is None:
+                return d
+            return max(rec(node.left, d + 1), rec(node.right, d + 1))
+        return rec(self.root, 0)

@@ -1,0 +1,733 @@
+"""Pallas TPU wavefront megakernel: the whole depth-50 trace loop on-chip.
+
+The pure-jnp path (trace.py) materializes every bounce's intermediates to
+HBM; at 2M-lane wavefronts the render is bandwidth-bound and the
+while-loop early exit only fires when an ENTIRE band dies. This kernel is
+the TPU-native wavefront megakernel the design calls for (SURVEY.md §7,
+BASELINE.json north star):
+
+  * each grid program owns a block of (R, 128) lanes whose full state
+    (origin, direction, throughput, radiance, alive) lives in
+    registers/VMEM for the whole bounce loop - HBM sees one read of the
+    camera rays and one write of the radiance;
+  * the bounce loop is a lax.while_loop whose cond includes
+    ``any(alive)``: blocks of coherent lanes (consecutive pixels) exit as
+    soon as ALL their lanes die - sky-heavy blocks cost 1 bounce, not 50;
+  * scene tables (spheres, triangles, lights, materials) are tiny packed
+    f32 arrays in SMEM, read as scalars inside python-unrolled primitive
+    loops (scene sizes are compile-time constants);
+  * the RNG is the same counter-based pcg4d as rng.py, computed on
+    (R, 128) uint32 tiles - bit-identical to the jnp path, so the oracle
+    tests compare exactly;
+  * material dispatch is the masked-select form of the Go interface
+    dispatch (material.go:9-16), identical in semantics to
+    models/materials.scatter.
+
+Semantics mirror trace._bounce_body exactly (same Go-parity quirks: tier
+tables renderer.go:191-292, unnormalized camera-ray Fresnel material.go:85,
+shadow sampling renderer.go:299-331, tMin=1e-3 everywhere).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import rng
+from ..models import materials as mat_mod
+
+BIG = np.float32(3.0e38)
+
+# Lane-block geometry: each grid program traces R x 128 lanes.
+DEFAULT_BLOCK_ROWS = 16
+LANE = 128
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers (component SoA: x,y,z as separate (R,128) tiles)
+# ---------------------------------------------------------------------------
+
+def _norm3(x, y, z):
+    """Go Vec3.Normalize: zero vector stays zero (vector.go:61-67)."""
+    n2 = x * x + y * y + z * z
+    pos = n2 > 0.0
+    inv = jnp.where(pos, jax.lax.rsqrt(jnp.where(pos, n2, 1.0)), 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def _pow5(x):
+    x2 = x * x
+    return x2 * x2 * x
+
+
+def _uniform4(pix, samp, stream, seed):
+    """pcg4d -> 4 U[0,1) floats; bit-identical to rng.uniform4."""
+    s = jnp.broadcast_to(jnp.asarray(stream, jnp.uint32), pix.shape)
+    sd = jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), pix.shape)
+    a, b, c, d = rng.pcg4d(pix, samp, s, sd)
+    # Mosaic has no uint32->f32 cast; (u >> 8) < 2^24 fits int32 exactly.
+    f = lambda u: ((u >> 8).astype(jnp.int32).astype(jnp.float32)
+                   * np.float32(1.0 / (1 << 24)))
+    return f(a), f(b), f(c), f(d)
+
+
+def _unit_ball(pix, samp, stream, seed):
+    """Component form of rng.unit_ball (same draws, same mapping)."""
+    u1, u2, u3, _ = _uniform4(pix, samp, stream, seed)
+    z = 2.0 * u1 - 1.0
+    phi = np.float32(2.0 * np.pi) * u2
+    rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    # Mosaic has no cbrt primitive: x^(1/3) = exp2(log2(x)/3), guarded at 0.
+    z0 = u3 <= 0.0
+    r = jnp.where(z0, 0.0,
+                  jnp.exp2(jnp.log2(jnp.where(z0, 1.0, u3))
+                           * np.float32(1.0 / 3.0)))
+    return r * rho * jnp.cos(phi), r * rho * jnp.sin(phi), r * z
+
+
+# ---------------------------------------------------------------------------
+# Kernel factory
+# ---------------------------------------------------------------------------
+
+def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
+                 start_bounce: int = 0, end_bounce=None,
+                 return_state: bool = False):
+    """Build the kernel body for a scene shape (all sizes static).
+
+    start_bounce/end_bounce bound the loop (RNG streams key off the
+    absolute bounce index, so a [0,B) + resume [B,D) split is bit-identical
+    to a single [0,D) run); return_state additionally emits the live ray
+    state so the driver can re-compact survivors mid-trace.
+    """
+    max_depth = cfg.max_depth if end_bounce is None else end_bounce
+    shadow_samples = cfg.shadow_samples
+    soft = cfg.soft_shadows
+    seed = cfg.seed
+    t_min = np.float32(1e-3)
+
+    def closest_hit(sph, tri, ox, oy, oz, dx, dy, dz):
+        """Returns (t, outward nx,ny,nz, mat_id_f). t==BIG on miss."""
+        shape = ox.shape
+        t_best = jnp.full(shape, BIG)
+        nx = jnp.zeros(shape)
+        ny = jnp.zeros(shape)
+        nz = jnp.zeros(shape)
+        mat = jnp.zeros(shape)
+        a = dx * dx + dy * dy + dz * dz  # |d|^2, shared by all spheres
+        inv_a = 1.0 / a
+        for j in range(ns):
+            cx, cy, cz, r, m = (sph[j, 0], sph[j, 1], sph[j, 2],
+                                sph[j, 3], sph[j, 4])
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = half_b * half_b - a * c
+            ok = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            in0 = ok & (r0 >= t_min) & (r0 <= t_best)
+            in1 = ok & (r1 >= t_min) & (r1 <= t_best)
+            tj = jnp.where(in0, r0, jnp.where(in1, r1, BIG))
+            win = tj < t_best
+            inv_r = 1.0 / r
+            pxj = ox + dx * tj
+            pyj = oy + dy * tj
+            pzj = oz + dz * tj
+            t_best = jnp.where(win, tj, t_best)
+            nx = jnp.where(win, (pxj - cx) * inv_r, nx)
+            ny = jnp.where(win, (pyj - cy) * inv_r, ny)
+            nz = jnp.where(win, (pzj - cz) * inv_r, nz)
+            mat = jnp.where(win, m, mat)
+        for j in range(nt):
+            v0x, v0y, v0z = tri[j, 0], tri[j, 1], tri[j, 2]
+            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
+            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            fnx, fny, fnz = tri[j, 9], tri[j, 10], tri[j, 11]
+            m = tri[j, 12]
+            # h = d x e2 (Moller-Trumbore, triangle.go:36-82)
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            good = jnp.abs(det) >= 1e-6
+            f = 1.0 / jnp.where(good, det, 1.0)
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            tj = f * (e2x * qx + e2y * qy + e2z * qz)
+            valid = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                     & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_best))
+            win = valid & (tj < t_best)
+            t_best = jnp.where(win, tj, t_best)
+            nx = jnp.where(win, fnx, nx)
+            ny = jnp.where(win, fny, ny)
+            nz = jnp.where(win, fnz, nz)
+            mat = jnp.where(win, m, mat)
+        return t_best, nx, ny, nz, mat
+
+    def occl_precompute(sph, tri, ox, oy, oz):
+        """Origin-only terms shared by ALL shadow rays from one hit point.
+
+        Every bounce fires 1 + shadow_samples rays per light from the SAME
+        origin; the sphere oc / c terms and the Moller-Trumbore s, q = s x e1
+        and e2.q terms depend only on the origin, so hoisting them removes
+        ~40% of the per-ray occlusion arithmetic.
+        """
+        sph_pre = []
+        for j in range(ns):
+            cx, cy, cz, r = sph[j, 0], sph[j, 1], sph[j, 2], sph[j, 3]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            sph_pre.append((ocx, ocy, ocz, cc))
+        tri_pre = []
+        for j in range(nt):
+            v0x, v0y, v0z = tri[j, 0], tri[j, 1], tri[j, 2]
+            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
+            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            e2q = e2x * qx + e2y * qy + e2z * qz
+            tri_pre.append((sx, sy, sz, qx, qy, qz, e2q))
+        return sph_pre, tri_pre
+
+    def any_hit_pre(sph_pre, tri_pre, tri, dx, dy, dz, t_max):
+        """Occlusion in (t_min, t_max) from precomputed origin terms."""
+        blocked = jnp.zeros(dx.shape, bool)
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        for (ocx, ocy, ocz, cc) in sph_pre:
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            disc = half_b * half_b - a * cc
+            ok = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            blocked |= ok & (((r0 >= t_min) & (r0 <= t_max))
+                             | ((r1 >= t_min) & (r1 <= t_max)))
+        for j, (sx, sy, sz, qx, qy, qz, e2q) in enumerate(tri_pre):
+            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
+            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            good = jnp.abs(det) >= 1e-6
+            f = 1.0 / jnp.where(good, det, 1.0)
+            u = f * (sx * hx + sy * hy + sz * hz)
+            v = f * (dx * qx + dy * qy + dz * qz)
+            tj = f * e2q
+            blocked |= (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                        & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
+        return blocked
+
+    def any_hit(sph, tri, ox, oy, oz, dx, dy, dz, t_max):
+        """Occlusion in (t_min, t_max) (renderer.go:303-309 semantics)."""
+        blocked = jnp.zeros(ox.shape, bool)
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        for j in range(ns):
+            cx, cy, cz, r = sph[j, 0], sph[j, 1], sph[j, 2], sph[j, 3]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = half_b * half_b - a * c
+            ok = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            blocked |= ok & (((r0 >= t_min) & (r0 <= t_max))
+                             | ((r1 >= t_min) & (r1 <= t_max)))
+        for j in range(nt):
+            v0x, v0y, v0z = tri[j, 0], tri[j, 1], tri[j, 2]
+            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
+            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            good = jnp.abs(det) >= 1e-6
+            f = 1.0 / jnp.where(good, det, 1.0)
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            tj = f * (e2x * qx + e2y * qy + e2z * qz)
+            blocked |= (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                        & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
+        return blocked
+
+    def kernel(sph_ref, tri_ref, lit_ref, mat_ref, pix_ref, samp_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tx_ref, ty_ref, tz_ref, al_ref,
+               rx_ref, ry_ref, rz_ref, *state_refs):
+        sph = sph_ref
+        tri = tri_ref
+        lit = lit_ref
+        mtab = mat_ref
+        pix = pix_ref[:]
+        samp = samp_ref[:]
+
+        def cond(c):
+            bounce, alive_f = c[0], c[13]
+            # alive carried as f32 0/1: Mosaic cannot legalize i1 vectors
+            # in while-loop carries (scf.yield legalization failure).
+            return (bounce < max_depth) & (jnp.max(alive_f) > 0.0)
+
+        def body(c):
+            (bounce, ox, oy, oz, dx, dy, dz,
+             tpx, tpy, tpz, rdx, rdy, rdz, alive_f) = c
+            alive = alive_f > 0.0
+
+            t, onx, ony, onz, mid = closest_hit(sph, tri,
+                                                ox, oy, oz, dx, dy, dz)
+            hit = t < BIG
+            alive2 = alive & hit
+
+            def _shade(_):
+                # Only entered when ANY lane in the block is alive and
+                # hit something: fully-missed (sky) blocks skip all
+                # shading/shadow work - the dominant cost for the ~98%
+                # of blocks that never touch geometry.
+                px = jnp.where(alive2, ox + dx * t, 0.0)
+                py = jnp.where(alive2, oy + dy * t, 0.0)
+                pz = jnp.where(alive2, oz + dz * t, 0.0)
+                # front-face flip (ray.go:7-13 convention via sphere.go:46-50)
+                front = (dx * onx + dy * ony + dz * onz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                nx = jnp.where(alive2, onx * sgn, 0.0)
+                ny = jnp.where(alive2, ony * sgn, 0.0)
+                nz = jnp.where(alive2, onz * sgn, 0.0)
+
+                sph_pre, tri_pre = occl_precompute(sph, tri, px, py, pz)
+
+                # -- material row gather: masked select over the table ---------
+                kind = jnp.zeros(px.shape)
+                alb_r = jnp.zeros(px.shape)
+                alb_g = jnp.zeros(px.shape)
+                alb_b = jnp.zeros(px.shape)
+                rough = jnp.zeros(px.shape)
+                metal = jnp.zeros(px.shape)
+                spec = jnp.zeros(px.shape)
+                ior = jnp.ones(px.shape)
+                em_r = jnp.zeros(px.shape)
+                em_g = jnp.zeros(px.shape)
+                em_b = jnp.zeros(px.shape)
+                ef_r = jnp.zeros(px.shape)
+                ef_g = jnp.zeros(px.shape)
+                ef_b = jnp.zeros(px.shape)
+                for m in range(nm):
+                    sel = mid == np.float32(m)
+                    w = lambda v, old: jnp.where(sel, v, old)
+                    kind = w(mtab[m, 0], kind)
+                    alb_r = w(mtab[m, 1], alb_r)
+                    alb_g = w(mtab[m, 2], alb_g)
+                    alb_b = w(mtab[m, 3], alb_b)
+                    rough = w(mtab[m, 4], rough)
+                    metal = w(mtab[m, 5], metal)
+                    spec = w(mtab[m, 6], spec)
+                    ior = w(mtab[m, 7], ior)
+                    em_r = w(mtab[m, 8], em_r)
+                    em_g = w(mtab[m, 9], em_g)
+                    em_b = w(mtab[m, 10], em_b)
+                    ef_r = w(mtab[m, 11], ef_r)
+                    ef_g = w(mtab[m, 12], ef_g)
+                    ef_b = w(mtab[m, 13], ef_b)
+
+                # -- direct lighting (renderer.go:229-297) ---------------------
+                amb = jnp.where(metal > 0.9, 0.05,
+                      jnp.where(metal > 0.7, 0.07,
+                      jnp.where(metal > 0.5, 0.08, 0.1)))
+                dstr = jnp.where(metal > 0.95, 0.05,
+                       jnp.where(metal > 0.9, 0.08,
+                       jnp.where(metal > 0.8, 0.12,
+                       jnp.where(metal > 0.7, 0.15,
+                       jnp.where(metal > 0.5, 0.2, 0.25)))))
+                spow = jnp.where(metal > 0.9, 64.0,
+                       jnp.where(metal > 0.8, 48.0, 32.0))
+
+                dir_r = amb + jnp.zeros(px.shape)
+                dir_g = amb + jnp.zeros(px.shape)
+                dir_b = amb + jnp.zeros(px.shape)
+                # view dir: toward WORLD ORIGIN (renderer.go:279 parity bug)
+                vx, vy, vz = _norm3(-px, -py, -pz)
+                for li in range(nl):
+                    lx, ly, lz = lit[li, 0], lit[li, 1], lit[li, 2]
+                    lr, lg, lb = lit[li, 3], lit[li, 4], lit[li, 5]
+                    lint = lit[li, 6]
+                    tlx, tly, tlz = lx - px, ly - py, lz - pz
+                    dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+                    ldx, ldy, ldz = _norm3(tlx, tly, tlz)
+                    live = dist >= 1e-3  # renderer.go:252-254
+
+                    hard = any_hit_pre(sph_pre, tri_pre, tri, ldx, ldy, ldz, dist)
+                    if soft:
+                        unblocked = jnp.zeros(px.shape)
+                        for s in range(shadow_samples):
+                            stream = (bounce.astype(jnp.uint32)
+                                      * np.uint32(rng.STREAMS_PER_BOUNCE)
+                                      + np.uint32(rng.shadow_stream(
+                                          li, s, shadow_samples)))
+                            bx, by, bz = _unit_ball(pix, samp, stream, seed)
+                            sdx, sdy, sdz = _norm3(ldx + 0.1 * bx,
+                                                   ldy + 0.1 * by,
+                                                   ldz + 0.1 * bz)
+                            b = any_hit_pre(sph_pre, tri_pre, tri,
+                                        sdx, sdy, sdz, dist)
+                            unblocked += jnp.where(b, 0.0, 1.0)
+                        sf = jnp.where(hard, 0.0,
+                                       unblocked * np.float32(
+                                           1.0 / shadow_samples))
+                    else:
+                        sf = jnp.where(hard, 0.0, 1.0)
+
+                    cos_t = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
+                    inten = cos_t * lint / (dist * dist)
+                    dscale = dstr * inten * sf
+                    hx, hy, hz = _norm3(ldx + vx, ldy + vy, ldz + vz)
+                    sdot = jnp.maximum(0.0, nx * hx + ny * hy + nz * hz)
+                    # pow(x, p) with per-lane p in {32,48,64}: exp2(p*log2(x))
+                    # with the x==0 guard (0^p = 0).
+                    zdot = sdot <= 0.0
+                    spec_i = jnp.where(
+                        zdot, 0.0,
+                        jnp.exp2(spow * (jnp.log2(jnp.where(zdot, 1.0, sdot)))))
+                    sscale = jnp.where(metal > 0.5,
+                                       spec_i * inten * sf * metal * 3.0, 0.0)
+                    ok = live
+                    dir_r += jnp.where(ok, ef_r * dscale + lr * sscale, 0.0)
+                    dir_g += jnp.where(ok, ef_g * dscale + lg * sscale, 0.0)
+                    dir_b += jnp.where(ok, ef_b * dscale + lb * sscale, 0.0)
+
+                # -- scatter (models/materials.scatter, component form) --------
+                bounce_u = bounce.astype(jnp.uint32)
+                ball_stream = (bounce_u * np.uint32(rng.STREAMS_PER_BOUNCE)
+                               + np.uint32(rng.Streams.SCATTER_BALL))
+                pick_stream = (bounce_u * np.uint32(rng.STREAMS_PER_BOUNCE)
+                               + np.uint32(rng.Streams.DIELECTRIC))
+                bx, by, bz = _unit_ball(pix, samp, ball_stream, seed)
+                pick = _uniform4(pix, samp, pick_stream, seed)[0]
+
+                d_dot_n = dx * nx + dy * ny + dz * nz
+                refx = dx - 2.0 * d_dot_n * nx
+                refy = dy - 2.0 * d_dot_n * ny
+                refz = dz - 2.0 * d_dot_n * nz
+                cos_raw = jnp.abs(d_dot_n)
+                f0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+                fres = f0 + (1.0 - f0) * _pow5(1.0 - cos_raw)
+
+                # Lambertian
+                lamx, lamy, lamz = nx + bx, ny + by, nz + bz
+                near0 = ((jnp.abs(lamx) < 1e-8) & (jnp.abs(lamy) < 1e-8)
+                         & (jnp.abs(lamz) < 1e-8))
+                lamx = jnp.where(near0, nx, lamx)
+                lamy = jnp.where(near0, ny, lamy)
+                lamz = jnp.where(near0, nz, lamz)
+                lamx, lamy, lamz = _norm3(lamx, lamy, lamz)
+
+                # Metal / Shiny / PerfectMirror share the perturbed reflection
+                perx, pery, perz = _norm3(refx + bx * rough,
+                                          refy + by * rough,
+                                          refz + bz * rough)
+                rough_gate = rough > 0.001
+                metx = jnp.where(rough_gate, perx, refx)
+                mety = jnp.where(rough_gate, pery, refy)
+                metz = jnp.where(rough_gate, perz, refz)
+                fs = 0.6 + metal * 0.4
+                m_r = jnp.clip(alb_r * (1.0 - fs) + fres * fs, 0.0, 1.0)
+                m_g = jnp.clip(alb_g * (1.0 - fs) + fres * fs, 0.0, 1.0)
+                m_b = jnp.clip(alb_b * (1.0 - fs) + fres * fs, 0.0, 1.0)
+                mfs = 0.4 + metal * 0.5
+                hi = metal > 0.8
+                m_r = jnp.where(hi, m_r * (1.0 - mfs) + fres * mfs, m_r)
+                m_g = jnp.where(hi, m_g * (1.0 - mfs) + fres * mfs, m_g)
+                m_b = jnp.where(hi, m_b * (1.0 - mfs) + fres * mfs, m_b)
+
+                shiny_gate = rough > 0.0
+                shx = jnp.where(shiny_gate, perx, refx)
+                shy = jnp.where(shiny_gate, pery, refy)
+                shz = jnp.where(shiny_gate, perz, refz)
+                ss = 0.4 + spec * 0.4
+                s_r = jnp.minimum(1.0, alb_r * (1.0 - ss) + fres * ss)
+                s_g = jnp.minimum(1.0, alb_g * (1.0 - ss) + fres * ss)
+                s_b = jnp.minimum(1.0, alb_b * (1.0 - ss) + fres * ss)
+
+                p_r = alb_r * 0.1 + fres * 0.9
+                p_g = alb_g * 0.1 + fres * 0.9
+                p_b = alb_b * 0.1 + fres * 0.9
+
+                # Glass / Dielectric
+                ux, uy, uz = _norm3(dx, dy, dz)
+                ratio = jnp.where(front, 1.0 / ior, ior)
+                u_dot_n = ux * nx + uy * ny + uz * nz
+                cos_t2 = jnp.minimum(-u_dot_n, 1.0)
+                sin_t2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t2 * cos_t2))
+                cannot = ratio * sin_t2 > 1.0
+                rr0 = (1.0 - ratio) / (1.0 + ratio)
+                rr0 = rr0 * rr0
+                refl_p = rr0 + (1.0 - rr0) * _pow5(1.0 - cos_t2)
+                use_refl = cannot | (refl_p > pick)
+                # refract (vector.go:81-96 incl. flip + TIR fallback)
+                cosv = u_dot_n
+                flip = cosv > 0.0
+                n2x = jnp.where(flip, -nx, nx)
+                n2y = jnp.where(flip, -ny, ny)
+                n2z = jnp.where(flip, -nz, nz)
+                eta2 = jnp.where(flip, 1.0 / ratio, ratio)
+                cos2 = jnp.where(flip, -cosv, cosv)
+                st2 = eta2 * eta2 * (1.0 - cos2 * cos2)
+                tir = st2 > 1.0
+                ct2 = jnp.sqrt(jnp.where(tir, 1.0,
+                                         jnp.maximum(1.0 - st2, 0.0)))
+                k = eta2 * cos2 + ct2
+                fax = ux * eta2 - n2x * k
+                fay = uy * eta2 - n2y * k
+                faz = uz * eta2 - n2z * k
+                u_dot_n2 = ux * n2x + uy * n2y + uz * n2z
+                tirx = ux - 2.0 * u_dot_n2 * n2x
+                tiry = uy - 2.0 * u_dot_n2 * n2y
+                tirz = uz - 2.0 * u_dot_n2 * n2z
+                refrx = jnp.where(tir, tirx, fax)
+                refry = jnp.where(tir, tiry, fay)
+                refrz = jnp.where(tir, tirz, faz)
+                u_refx = ux - 2.0 * u_dot_n * nx
+                u_refy = uy - 2.0 * u_dot_n * ny
+                u_refz = uz - 2.0 * u_dot_n * nz
+                glx = jnp.where(use_refl, u_refx, refrx)
+                gly = jnp.where(use_refl, u_refy, refry)
+                glz = jnp.where(use_refl, u_refz, refrz)
+
+                is_lam = kind == np.float32(mat_mod.LAMBERTIAN)
+                is_met = kind == np.float32(mat_mod.METAL)
+                is_shy = kind == np.float32(mat_mod.SHINY)
+                is_pm = kind == np.float32(mat_mod.PERFECT_MIRROR)
+                sc_x = jnp.where(is_lam, lamx, jnp.where(is_met, metx,
+                        jnp.where(is_shy, shx, jnp.where(is_pm, metx, glx))))
+                sc_y = jnp.where(is_lam, lamy, jnp.where(is_met, mety,
+                        jnp.where(is_shy, shy, jnp.where(is_pm, mety, gly))))
+                sc_z = jnp.where(is_lam, lamz, jnp.where(is_met, metz,
+                        jnp.where(is_shy, shz, jnp.where(is_pm, metz, glz))))
+                at_r = jnp.where(is_lam, alb_r, jnp.where(is_met, m_r,
+                        jnp.where(is_shy, s_r, jnp.where(is_pm, p_r, alb_r))))
+                at_g = jnp.where(is_lam, alb_g, jnp.where(is_met, m_g,
+                        jnp.where(is_shy, s_g, jnp.where(is_pm, p_g, alb_g))))
+                at_b = jnp.where(is_lam, alb_b, jnp.where(is_met, m_b,
+                        jnp.where(is_shy, s_b, jnp.where(is_pm, p_b, alb_b))))
+                did_scatter = kind != np.float32(mat_mod.DIFFUSE_LIGHT)
+
+                # -- combine (trace._bounce_body semantics) --------------------
+                w_r = jnp.where(metal > 0.95, 0.85,
+                      jnp.where(metal > 0.9, 0.8,
+                      jnp.where(metal > 0.8, 0.75,
+                      jnp.where(metal > 0.7, 0.7,
+                      jnp.where(metal > 0.5, 0.6,
+                      jnp.where(metal > 0.2, 0.4, 1.0))))))
+                w_d = jnp.where(metal > 0.2, 1.0 - w_r, 1.0)
+
+                no_scat = alive2 & ~did_scatter
+                scat = alive2 & did_scatter
+
+                n_rdx = rdx + jnp.where(alive2, tpx * em_r, 0.0)
+                n_rdy = rdy + jnp.where(alive2, tpy * em_g, 0.0)
+                n_rdz = rdz + jnp.where(alive2, tpz * em_b, 0.0)
+                n_rdx = n_rdx + jnp.where(no_scat, tpx * dir_r, 0.0)
+                n_rdy = n_rdy + jnp.where(no_scat, tpy * dir_g, 0.0)
+                n_rdz = n_rdz + jnp.where(no_scat, tpz * dir_b, 0.0)
+                n_rdx = n_rdx + jnp.where(scat, tpx * dir_r * w_d, 0.0)
+                n_rdy = n_rdy + jnp.where(scat, tpy * dir_g * w_d, 0.0)
+                n_rdz = n_rdz + jnp.where(scat, tpz * dir_b * w_d, 0.0)
+
+                n_tpx = jnp.where(scat, tpx * at_r * w_r, tpx)
+                n_tpy = jnp.where(scat, tpy * at_g * w_r, tpy)
+                n_tpz = jnp.where(scat, tpz * at_b * w_r, tpz)
+
+                next_alive = scat
+                if not cfg.recursive_reflections:
+                    next_alive = jnp.zeros_like(next_alive)
+                if cfg.throughput_epsilon > 0.0:
+                    tmax = jnp.maximum(n_tpx, jnp.maximum(n_tpy, n_tpz))
+                    next_alive &= tmax >= np.float32(cfg.throughput_epsilon)
+
+                n_ox = jnp.where(scat, px, ox)
+                n_oy = jnp.where(scat, py, oy)
+                n_oz = jnp.where(scat, pz, oz)
+                n_dx = jnp.where(scat, sc_x, dx)
+                n_dy = jnp.where(scat, sc_y, dy)
+                n_dz = jnp.where(scat, sc_z, dz)
+
+                return (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+                        n_tpx, n_tpy, n_tpz, n_rdx, n_rdy, n_rdz,
+                        jnp.where(next_alive, 1.0, 0.0))
+
+            def _pass(_):
+                return (ox, oy, oz, dx, dy, dz,
+                        tpx, tpy, tpz, rdx, rdy, rdz,
+                        jnp.zeros(ox.shape))
+
+            (ox2, oy2, oz2, dx2, dy2, dz2, tpx2, tpy2, tpz2,
+             rdx2, rdy2, rdz2, alive_next) = jax.lax.cond(
+                jnp.any(alive2), _shade, _pass, 0)
+            return (bounce + 1, ox2, oy2, oz2, dx2, dy2, dz2,
+                    tpx2, tpy2, tpz2, rdx2, rdy2, rdz2, alive_next)
+
+        shape = ox_ref.shape
+        zeros = jnp.zeros(shape)
+        init = (jnp.int32(start_bounce),
+                ox_ref[:], oy_ref[:], oz_ref[:],
+                dx_ref[:], dy_ref[:], dz_ref[:],
+                tx_ref[:], ty_ref[:], tz_ref[:],
+                zeros, zeros, zeros,
+                al_ref[:])
+        out = jax.lax.while_loop(cond, body, init)
+        rx_ref[:] = out[10]
+        ry_ref[:] = out[11]
+        rz_ref[:] = out[12]
+        if return_state:
+            (sox, soy, soz, sdx, sdy, sdz, stx, sty, stz, sal) = state_refs
+            sox[:] = out[1]
+            soy[:] = out[2]
+            soz[:] = out[3]
+            sdx[:] = out[4]
+            sdy[:] = out[5]
+            sdz[:] = out[6]
+            stx[:] = out[7]
+            sty[:] = out[8]
+            stz[:] = out[9]
+            sal[:] = out[13]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper
+# ---------------------------------------------------------------------------
+
+def pack_tables(scene):
+    """Scene pytree -> packed f32 tables (spheres, tris, lights, mats)."""
+    g, m, l = scene.geometry, scene.materials, scene.lights
+    f32 = jnp.float32
+    sph = jnp.concatenate([
+        g.sph_center.astype(f32),
+        g.sph_radius[:, None].astype(f32),
+        g.sph_mat[:, None].astype(f32)], axis=1)  # (Ns,5)
+    e1 = g.tri_v1 - g.tri_v0
+    e2 = g.tri_v2 - g.tri_v0
+    tri = jnp.concatenate([
+        g.tri_v0.astype(f32), e1.astype(f32), e2.astype(f32),
+        g.tri_normal.astype(f32),
+        g.tri_mat[:, None].astype(f32)], axis=1)  # (Nt,13)
+    lit = jnp.concatenate([
+        l.position.astype(f32), l.color.astype(f32),
+        l.intensity[:, None].astype(f32)], axis=1)  # (L,7)
+    mat = jnp.concatenate([
+        m.kind[:, None].astype(f32), m.albedo.astype(f32),
+        m.roughness[:, None].astype(f32), m.metallic[:, None].astype(f32),
+        m.specular[:, None].astype(f32), m.ior[:, None].astype(f32),
+        m.emit.astype(f32), m.eff_albedo.astype(f32)], axis=1)  # (M,14)
+    return sph, tri, lit, mat
+
+
+def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
+                 block_rows: int = DEFAULT_BLOCK_ROWS,
+                 interpret: bool | None = None,
+                 start_bounce: int = 0, end_bounce: int | None = None,
+                 init_throughput=None, init_alive=None,
+                 return_state: bool = False):
+    """Pallas megakernel trace: same contract as trace.trace.
+
+    origin/direction: (B,3); pix_id/samp_id: (B,) uint32. Returns (B,3),
+    or (radiance, state) when return_state=True, where state is a dict of
+    (origin, direction, throughput, alive) usable to resume: running
+    [0,B) with return_state then [B,D) from that state sums (radiance
+    parts add) to exactly the [0,D) result - RNG streams key off the
+    absolute bounce index.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    ns = scene.geometry.sph_center.shape[0]
+    nt = scene.geometry.tri_v0.shape[0]
+    nl = scene.lights.position.shape[0]
+    nm = scene.materials.kind.shape[0]
+
+    B = origin.shape[0]
+    blk = block_rows * LANE
+    n_blocks = -(-B // blk)
+    pad = n_blocks * blk - B
+
+    def prep(x):
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+        return x
+
+    o = prep(origin.astype(jnp.float32))
+    d = prep(direction.astype(jnp.float32))
+    pix = prep(pix_id.astype(jnp.uint32)).reshape(-1, LANE)
+    samp = prep(samp_id.astype(jnp.uint32)).reshape(-1, LANE)
+
+    if init_throughput is None:
+        tp = jnp.ones_like(o)
+    else:
+        tp = prep(init_throughput.astype(jnp.float32))
+    if init_alive is None:
+        al = jnp.ones((o.shape[0],), jnp.float32)
+    else:
+        # padding lanes must be dead, so pad with zeros (prep pads 0)
+        al = prep(init_alive.astype(jnp.float32))
+
+    comps = ([o[:, i].reshape(-1, LANE) for i in range(3)]
+             + [d[:, i].reshape(-1, LANE) for i in range(3)]
+             + [tp[:, i].reshape(-1, LANE) for i in range(3)]
+             + [al.reshape(-1, LANE)])
+
+    sph, tri, lit, mat = pack_tables(scene)
+    # Mosaic rejects 0-row operands; pad empty tables to one (never-read)
+    # row - the primitive loops are unrolled over the *static* counts.
+    pad1 = lambda a: a if a.shape[0] else jnp.zeros((1,) + a.shape[1:],
+                                                    a.dtype)
+    sph, tri, lit, mat = pad1(sph), pad1(tri), pad1(lit), pad1(mat)
+
+    kernel = _make_kernel(ns, nt, nl, nm, cfg, start_bounce=start_bounce,
+                          end_bounce=end_bounce, return_state=return_state)
+
+    rows = n_blocks * block_rows
+    n_out = 13 if return_state else 3
+    table_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    lane_spec = lambda: pl.BlockSpec((block_rows, LANE),
+                                     lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[table_spec() for _ in range(4)]
+        + [lane_spec() for _ in range(12)],
+        out_specs=[lane_spec() for _ in range(n_out)],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+                   for _ in range(n_out)],
+        interpret=interpret,
+    )(sph, tri, lit, mat, pix, samp, *comps)
+
+    rad = jnp.stack([c.reshape(-1) for c in out[:3]], axis=-1)[:B]
+    if not return_state:
+        return rad
+    flat = [c.reshape(-1)[:B] for c in out[3:]]
+    state = {
+        "origin": jnp.stack(flat[0:3], axis=-1),
+        "direction": jnp.stack(flat[3:6], axis=-1),
+        "throughput": jnp.stack(flat[6:9], axis=-1),
+        "alive": flat[9],
+    }
+    return rad, state

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from . import camera as cam_mod
 from . import rng
 from . import trace as trace_mod
-from .ops import tonemap
+from .ops import intersect, megakernel, tonemap
 from .utils import image as image_util
 
 
@@ -122,6 +122,225 @@ def pick_band_height(width: int, height: int, samples: int,
     return int(min(rows, height))
 
 
+# ---------------------------------------------------------------------------
+# Compacted wavefront driver (Pallas megakernel path)
+# ---------------------------------------------------------------------------
+
+def _lane_rays(scene, pix_id, samp_id, *, width: int, height: int,
+               cfg: trace_mod.TraceConfig, go_camera: bool):
+    """Camera rays for (pixel, sample) lane ids - pure arithmetic, so the
+    compacted path regenerates rays instead of gathering stored ones."""
+    dtype = scene.geometry.sph_center.dtype
+    ju, jv, _, _ = rng.uniform4(pix_id, samp_id, rng.Streams.CAMERA_JITTER,
+                                cfg.seed)
+    x = (pix_id % np.uint32(width)).astype(dtype)
+    y = (pix_id // np.uint32(width)).astype(dtype)
+    u = (x + ju) / width
+    v = (y + jv) / height
+    rays = cam_mod.go_rays if go_camera else cam_mod.lookat_rays
+    return rays(scene.camera, u, v)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
+                                   "go_camera"))
+def _pixel_mask(scene, *, width: int, height: int, samples: int,
+                cfg: trace_mod.TraceConfig, go_camera: bool):
+    """Stage 1: per-PIXEL primary-hit mask + compaction metadata.
+
+    A lane that misses all geometry contributes exactly black
+    (renderer.go:170-173), so only pixels whose samples hit anything enter
+    the bounce kernel (~2-5% for the demo scenes). Compaction happens at
+    pixel granularity: the scatter that builds the compacted list is over
+    n_px elements, not n_px*spp - TPU scatters are slow enough that
+    lane-granular compaction would dominate the whole render. Only the
+    scalar hit count crosses to the host.
+    """
+    n_px = width * height
+    pix = jnp.arange(n_px, dtype=jnp.uint32)
+    pix_id = jnp.repeat(pix, samples)
+    samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
+    origin, direction = _lane_rays(scene, pix_id, samp_id, width=width,
+                                   height=height, cfg=cfg,
+                                   go_camera=go_camera)
+    hit = intersect.any_hit(scene.geometry, origin, direction, 1e-3,
+                            intersect.BIG)
+    hit_px = jnp.any(hit.reshape(n_px, samples), axis=1)
+    pos_px = jnp.cumsum(hit_px.astype(jnp.int32)) - 1
+    return hit_px, pos_px, pos_px[-1] + 1
+
+
+@partial(jax.jit, static_argnames=("k_pad",))
+def _compact_pixels(hit_px, pos_px, *, k_pad: int):
+    """Scatter hit pixel ids into their compacted slots (on device)."""
+    n = hit_px.shape[0]
+    target = jnp.where(hit_px, pos_px, k_pad)  # out-of-range -> dropped
+    return jnp.zeros((k_pad,), jnp.int32).at[target].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+@partial(jax.jit, static_argnames=("k_pad", "width", "height", "samples",
+                                   "cfg", "go_camera", "block_rows",
+                                   "split", "surv_cap"))
+def _compact_and_trace(scene, hit_px, pos_px, k_px, *, k_pad: int,
+                       width: int, height: int, samples: int,
+                       cfg: trace_mod.TraceConfig, go_camera: bool,
+                       block_rows: int, split: int = 0, surv_cap: int = 0):
+    """Fused stage 2: pixel compaction + trace in one dispatch (one RPC
+    round-trip matters when the TPU is reached through a tunnel)."""
+    px_cidx = _compact_pixels.__wrapped__(hit_px, pos_px, k_pad=k_pad)
+    return _trace_compacted_pixels.__wrapped__(
+        scene, px_cidx, k_px, width=width, height=height, samples=samples,
+        cfg=cfg, go_camera=go_camera, block_rows=block_rows, split=split,
+        surv_cap=surv_cap)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
+                                   "go_camera", "block_rows", "split",
+                                   "surv_cap"))
+def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
+                            height: int, samples: int,
+                            cfg: trace_mod.TraceConfig, go_camera: bool,
+                            block_rows: int, split: int = 0,
+                            surv_cap: int = 0):
+    """Stage 2: regenerate rays for compacted pixels, trace, segment-add
+    per-pixel sums back into the image.
+
+    With split > 0 the trace runs in two segments with a survivor
+    re-compaction in between: segment A covers bounces [0, split) over all
+    lanes; the few lanes still alive (glass TIR tails - measured ~0.3%
+    after 4 bounces on the headline scene) are compacted into `surv_cap`
+    slots and segment B finishes [split, max_depth). Without the split,
+    one never-dying lane holds its whole block for all 50 bounces.
+    Returns (image, overflow): overflow > 0 means surv_cap was too small
+    (caller re-runs unsplit; bit-identical either way since RNG streams
+    key off absolute bounce indices).
+    """
+    k_pad = px_cidx.shape[0]
+    n_px = width * height
+    n_lanes = k_pad * samples
+    pix_c = jnp.repeat(px_cidx.astype(jnp.uint32), samples)
+    samp_c = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), k_pad)
+    origin, direction = _lane_rays(scene, pix_c, samp_c, width=width,
+                                   height=height, cfg=cfg,
+                                   go_camera=go_camera)
+
+    if split <= 0 or cfg.max_depth <= split:
+        rad = megakernel.trace_pallas(scene, origin, direction, pix_c,
+                                      samp_c, cfg, block_rows=block_rows)
+        overflow = jnp.int32(0)
+    else:
+        radA, st = megakernel.trace_pallas(
+            scene, origin, direction, pix_c, samp_c, cfg,
+            block_rows=block_rows, end_bounce=split, return_state=True)
+        alive = st["alive"] > 0.0
+        pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        k_surv = pos[-1] + 1
+        overflow = jnp.maximum(0, k_surv - surv_cap)
+        target = jnp.where(alive, jnp.minimum(pos, surv_cap - 1), surv_cap)
+        sidx = jnp.zeros((surv_cap,), jnp.int32).at[target].set(
+            jnp.arange(n_lanes, dtype=jnp.int32), mode="drop")
+        valid_s = jnp.arange(surv_cap) < jnp.minimum(k_surv, surv_cap)
+        take = lambda a: jnp.take(a, sidx, axis=0)
+        radB = megakernel.trace_pallas(
+            scene, take(st["origin"]), take(st["direction"]),
+            take(pix_c), take(samp_c), cfg, block_rows=block_rows,
+            start_bounce=split, init_throughput=take(st["throughput"]),
+            init_alive=jnp.where(valid_s, take(st["alive"]), 0.0))
+        radB = jnp.where(valid_s[:, None], radB, 0.0)
+        rad = radA.at[sidx].add(radB, mode="drop")
+
+    px_sum = rad.reshape(k_pad, samples, 3).sum(axis=1)
+    # Padding slots repeat pixel 0; drop them instead of double-adding.
+    valid = jnp.arange(k_pad) < k_px
+    target = jnp.where(valid, px_cidx, n_px)
+    img = jnp.zeros((n_px, 3), rad.dtype).at[target].add(px_sum,
+                                                         mode="drop")
+    return (img / samples).reshape(height, width, 3), overflow
+
+
+@partial(jax.jit, static_argnames=("k_pad", "width", "height", "samples",
+                                   "cfg", "go_camera", "block_rows"))
+def _render_fused(scene, *, k_pad: int, width: int, height: int,
+                  samples: int, cfg: trace_mod.TraceConfig,
+                  go_camera: bool, block_rows: int):
+    """Whole wavefront render in ONE dispatch, given a capacity k_pad.
+
+    Returns (img, k_px): the caller must check k_px <= k_pad - if the
+    hit-pixel count exceeded the speculative capacity, pixels were dropped
+    and the render must be redone with a larger k_pad. Used for
+    steady-state renders (same scene/resolution) where the capacity from
+    the previous frame is almost always still right, collapsing the
+    mask -> count -> trace sequence into a single RPC round-trip.
+    """
+    hit_px, pos_px, k_px = _pixel_mask.__wrapped__(
+        scene, width=width, height=height, samples=samples, cfg=cfg,
+        go_camera=go_camera)
+    img, _ = _compact_and_trace.__wrapped__(
+        scene, hit_px, pos_px, k_px, k_pad=k_pad, width=width,
+        height=height, samples=samples, cfg=cfg, go_camera=go_camera,
+        block_rows=block_rows)
+    return img, k_px
+
+
+# Speculative capacity cache for the fused path: config -> last k_pad.
+_KPAD_CACHE: dict = {}
+
+
+def _pad_bucket(k: int, quantum: int) -> int:
+    """Round k up to a power-of-two number of quanta (few recompiles)."""
+    blocks = max(1, -(-k // quantum))
+    return quantum * (1 << (blocks - 1).bit_length())
+
+
+def render_wavefront(scene, *, width: int, height: int, samples: int,
+                     cfg: trace_mod.TraceConfig, go_camera: bool = True,
+                     block_rows: int = 8) -> np.ndarray:
+    """Compacted-wavefront render: (H, W, 3) mean linear radiance.
+
+    Pipeline (all on device): primary any-hit over every lane (XLA) ->
+    per-pixel cumsum compaction -> Pallas bounce megakernel over the
+    surviving pixels' lanes -> per-pixel segment-add back into the image
+    (missed pixels are exactly black). Monte Carlo results are identical
+    to the dense path because every lane's RNG is keyed by
+    (pixel, sample), not by its position in the compacted array. The host
+    sees one scalar (the hit-pixel count, which sizes the kernel launch)
+    and the final image.
+    """
+    # Quantum: pixels per pallas block (block lanes / spp), >= 1.
+    quantum = max(1, (block_rows * megakernel.LANE) // max(1, samples))
+    cache_key = (width, height, samples, cfg, go_camera, block_rows)
+
+    k_pad = _KPAD_CACHE.get(cache_key)
+    if k_pad is not None:
+        # Speculative single-dispatch path with last frame's capacity.
+        img, k_dev = _render_fused(
+            scene, k_pad=k_pad, width=width, height=height,
+            samples=samples, cfg=cfg, go_camera=go_camera,
+            block_rows=block_rows)
+        img_np, k_px = jax.device_get((img, k_dev))
+        k_px = int(k_px)
+        want = min(_pad_bucket(max(k_px, 1), quantum), width * height)
+        if k_px <= k_pad and k_pad <= max(2 * want, quantum):
+            _KPAD_CACHE[cache_key] = want if k_px > 0 else k_pad
+            return np.asarray(img_np)
+        # capacity stale (scene changed): fall through and redo.
+
+    hit_px, pos_px, k_dev = _pixel_mask(
+        scene, width=width, height=height, samples=samples, cfg=cfg,
+        go_camera=go_camera)
+    k_px = int(k_dev)  # host sync sizes the launch
+    if k_px <= 0:
+        return np.zeros((height, width, 3), np.float32)
+
+    k_pad = min(_pad_bucket(k_px, quantum), width * height)
+    _KPAD_CACHE[cache_key] = k_pad
+    img, _ = _compact_and_trace(
+        scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad, width=width,
+        height=height, samples=samples, cfg=cfg, go_camera=go_camera,
+        block_rows=block_rows)
+    return np.asarray(img)
+
+
 class Renderer:
     """Drop-in equivalent of ParallelRenderer (renderer.go:20-126).
 
@@ -140,6 +359,9 @@ class Renderer:
         self.seed = 0
         self.go_camera = True
         self.fast_mc = False  # enable expectation-preserving accelerators
+        # "auto": compacted Pallas wavefront on TPU, banded jnp elsewhere
+        # (interpret-mode Pallas is too slow for full frames on CPU).
+        self.engine = "auto"  # "auto" | "pallas" | "jnp"
         self.benchmark_data = BenchmarkData()
         self.progress_callback = None  # fn(done_rows, total_rows)
 
@@ -188,6 +410,14 @@ class Renderer:
                       band_h: Optional[int] = None) -> np.ndarray:
         """Full-image mean linear radiance, (H,W,3) float32 numpy."""
         cfg = self.trace_config()
+        engine = self.engine
+        if engine == "auto":
+            engine = ("pallas" if jax.default_backend() == "tpu"
+                      else "jnp")
+        if engine == "pallas":
+            return render_wavefront(scene, width=width, height=height,
+                                    samples=self.samples, cfg=cfg,
+                                    go_camera=self.go_camera)
         bh = band_h or pick_band_height(width, height, self.samples)
         out = np.zeros((height, width, 3), np.float32)
         futures = []

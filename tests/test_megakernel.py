@@ -1,0 +1,150 @@
+"""Pallas megakernel tests (interpret mode on the CPU backend).
+
+The jnp wavefront (trace.py) is the semantics oracle - itself validated
+against the Go reference formulas in test_trace.py - and the kernel must
+match it bit-for-bit (same pcg4d draws, same arithmetic) up to transcendental
+substitutions (cbrt -> exp2/log2) bounded well below 1e-4.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import os
+
+SLOW = pytest.mark.skipif(
+    not os.environ.get("RT_SLOW_TESTS"),
+    reason="interpret-mode Pallas is minutes-slow; set RT_SLOW_TESTS=1 "
+           "(the TPU-compiled path is exercised by bench.py and was "
+           "validated against the oracle on hardware)")
+
+import raytrace_tpu as rt
+from raytrace_tpu import renderer as renderer_mod
+from raytrace_tpu import rng
+from raytrace_tpu import camera as cam_mod
+from raytrace_tpu import trace as trace_mod
+from raytrace_tpu.ops import megakernel as mk
+
+
+@pytest.fixture(scope="module")
+def scene():
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 8], "aspectRatio": 1.33},
+        "objects": [
+            {"type": "sphere", "position": [0, 0, 0], "radius": 1.0,
+             "material": {"type": "metal", "color": [0.8, 0.8, 0.9],
+                          "roughness": 0.1}},
+            {"type": "sphere", "position": [-2, 0, 0], "radius": 0.7,
+             "material": {"type": "glass", "color": [0.8, 0.2, 0.2]}},
+            {"type": "cube", "position": [2, 0, 0], "size": [1, 1, 1],
+             "material": {"type": "lambertian", "color": [0.2, 0.6, 0.3]}},
+            {"type": "sphere", "position": [0, -2, 0], "radius": 0.4,
+             "material": {"type": "diffuselight", "color": [1, 0.9, 0.8]}},
+            {"type": "sphere", "position": [0, 2, 0], "radius": 0.5,
+             "material": {"type": "dielectric", "refractionIndex": 1.5}},
+        ],
+        "lights": [
+            {"type": "point", "position": [5, 5, 5], "color": [1, 1, 1],
+             "intensity": 1.0},
+            {"type": "point", "position": [-3, 3, 3],
+             "color": [0.8, 0.8, 1], "intensity": 0.5},
+        ],
+    })
+    return s
+
+
+CFG = trace_mod.TraceConfig(max_depth=3, shadow_samples=1)
+
+
+def _lanes(scene, W, H, SPP, cfg):
+    n_px = W * H
+    pix = jnp.repeat(jnp.arange(n_px, dtype=jnp.uint32), SPP)
+    samp = jnp.tile(jnp.arange(SPP, dtype=jnp.uint32), n_px)
+    ju, jv, _, _ = rng.uniform4(pix, samp, rng.Streams.CAMERA_JITTER,
+                                cfg.seed)
+    x = (pix % np.uint32(W)).astype(jnp.float32)
+    y = (pix // np.uint32(W)).astype(jnp.float32)
+    o, d = cam_mod.go_rays(scene.camera, (x + ju) / W, (y + jv) / H)
+    return o, d, pix, samp
+
+
+def test_kernel_matches_oracle(scene):
+    o, d, pix, samp = _lanes(scene, 12, 8, 1, CFG)
+    ref = np.asarray(trace_mod.trace(scene, o, d, pix, samp, CFG))
+    out = np.asarray(mk.trace_pallas(scene, o, d, pix, samp, CFG,
+                                     interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+@SLOW
+def test_kernel_hard_shadows_and_no_recursion(scene):
+    import dataclasses
+    for cfg in (dataclasses.replace(CFG, soft_shadows=False),
+                dataclasses.replace(CFG, recursive_reflections=False),
+                dataclasses.replace(CFG, throughput_epsilon=1e-4)):
+        o, d, pix, samp = _lanes(scene, 8, 6, 1, cfg)
+        ref = np.asarray(trace_mod.trace(scene, o, d, pix, samp, cfg))
+        out = np.asarray(mk.trace_pallas(scene, o, d, pix, samp, cfg,
+                                         interpret=True))
+        np.testing.assert_allclose(out, ref, atol=1e-4, err_msg=str(cfg))
+
+
+@SLOW
+def test_resume_split_identity(scene):
+    """[0,3) + resume [3,6) == [0,6) exactly (absolute-bounce RNG keys)."""
+    o, d, pix, samp = _lanes(scene, 8, 6, 1, CFG)
+    full = np.asarray(mk.trace_pallas(scene, o, d, pix, samp, CFG,
+                                      interpret=True))
+    radA, st = mk.trace_pallas(scene, o, d, pix, samp, CFG,
+                               interpret=True, end_bounce=3,
+                               return_state=True)
+    radB = mk.trace_pallas(scene, st["origin"], st["direction"], pix, samp,
+                           CFG, interpret=True, start_bounce=3,
+                           init_throughput=st["throughput"],
+                           init_alive=st["alive"])
+    np.testing.assert_allclose(np.asarray(radA) + np.asarray(radB), full,
+                               atol=1e-5)
+
+
+def test_wavefront_matches_jnp_renderer(scene):
+    r = rt.Renderer()
+    r.samples, r.max_depth = 1, 3
+    r.engine = "jnp"
+    ref = r.render_linear(scene, 12, 8)
+    img = renderer_mod.render_wavefront(
+        scene, width=12, height=8, samples=1, cfg=r.trace_config())
+    np.testing.assert_allclose(img, ref, atol=1e-4)
+    # Steady-state fused path (capacity cached) must agree bit-for-bit.
+    img2 = renderer_mod.render_wavefront(
+        scene, width=12, height=8, samples=1, cfg=r.trace_config())
+    np.testing.assert_array_equal(img, img2)
+
+
+@SLOW
+def test_wavefront_split_matches_unsplit(scene):
+    cfg = trace_mod.TraceConfig(max_depth=6, shadow_samples=1)
+    kw = dict(width=16, height=12, samples=1, cfg=cfg, go_camera=True)
+    hit_px, pos_px, k_dev = renderer_mod._pixel_mask(scene, **kw)
+    k_px = int(k_dev)
+    assert k_px > 0
+    k_pad = renderer_mod._pad_bucket(k_px, 1)
+    import jax.numpy as jnp
+    a, ov_a = renderer_mod._compact_and_trace(
+        scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad,
+        block_rows=8, split=0, surv_cap=0, **kw)
+    b, ov_b = renderer_mod._compact_and_trace(
+        scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad,
+        block_rows=8, split=3, surv_cap=8 * 128, **kw)
+    assert int(ov_b) == 0
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_wavefront_empty_scene():
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 8], "aspectRatio": 1.0},
+        "objects": [], "lights": []})
+    img = renderer_mod.render_wavefront(
+        s, width=8, height=8, samples=2,
+        cfg=trace_mod.TraceConfig(max_depth=4))
+    np.testing.assert_array_equal(img, 0.0)
