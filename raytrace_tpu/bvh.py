@@ -100,7 +100,11 @@ def _build_nodes(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
 
 def build_bvh(lo: np.ndarray, hi: np.ndarray,
               leaf_size: int = 4) -> FlatBVH:
-    """Build from per-primitive AABBs (P,3)+(P,3)."""
+    """Build from per-primitive AABBs (P,3)+(P,3).
+
+    Uses the native C++ builder (native/rt_native.cpp) when available -
+    same layout and topology, ~100x faster for large scenes - with the
+    numpy builder as fallback."""
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)
     if lo.shape[0] == 0:
@@ -110,6 +114,16 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray,
                        jnp.asarray([0], jnp.int32),
                        jnp.asarray([0], jnp.int32),
                        jnp.zeros((0,), jnp.int32))
+    from . import native
+    nat = native.build_bvh_native(lo, hi, leaf_size)
+    if nat is not None:
+        nmin, nmax, nskip, nfirst, ncount, perm = nat
+        return FlatBVH(node_min=jnp.asarray(nmin),
+                       node_max=jnp.asarray(nmax),
+                       node_skip=jnp.asarray(nskip),
+                       node_first=jnp.asarray(nfirst),
+                       node_count=jnp.asarray(ncount),
+                       prim_index=jnp.asarray(perm))
     nodes, perm = _build_nodes(lo, hi, leaf_size)
     as_np = lambda i, dt=np.float32: np.asarray([n[i] for n in nodes], dt)
     return FlatBVH(

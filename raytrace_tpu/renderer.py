@@ -465,6 +465,9 @@ class Renderer:
 
         t0 = time.perf_counter()
         linear = self.render_linear(scene, width, height)
+        if scene_config is not None:
+            linear = self._apply_scene_effects(scene, linear, width,
+                                               height, scene_config)
         img = np.asarray(tonemap.to_rgb8(tonemap.tonemap(jnp.asarray(linear))))
         dt = time.perf_counter() - t0
 
@@ -479,6 +482,69 @@ class Renderer:
         bd.lights = int(scene.lights.position.shape[0])
         bd.timestamp = time.strftime("%Y-%m-%dT%H:%M:%S%z")
         return img
+
+    def _primary_depth(self, scene, width: int, height: int):
+        """Per-pixel center-ray hit distance (BIG on miss) for fog/DoF."""
+        from .ops import intersect as isect
+        n_px = width * height
+        xs = (jnp.arange(n_px, dtype=jnp.float32) % width + 0.5) / width
+        ys = (jnp.arange(n_px, dtype=jnp.float32) // width + 0.5) / height
+        rays = cam_mod.go_rays if self.go_camera else cam_mod.lookat_rays
+        o, d = rays(scene.camera, xs, ys)
+        hit = isect.closest_hit(scene.geometry, o, d, t_min=1e-3)
+        # distance in world units: t * |d| (directions are unnormalized)
+        dist = hit.t * jnp.linalg.norm(d, axis=-1)
+        return jnp.where(hit.hit, dist, isect.BIG).reshape(height, width)
+
+    def _apply_scene_effects(self, scene, linear, width: int, height: int,
+                             scene_config) -> np.ndarray:
+        """Honor the atmospheric/volumetric/fog/post-FX config blocks the
+        Go loader silently drops (scene.go:12-16; the extended schema in
+        demo-assets/final_silver_prism_purple_cube_.json:76-118)."""
+        from . import atmosphere as atmo_mod
+        from . import effects as fx
+
+        blocks = {
+            **(scene_config.effects or {}),
+        }
+        atmo_blk = scene_config.atmospheric or {}
+        fog_blk = scene_config.fog or {}
+        vol_blk = scene_config.volumetric or {}
+        need_depth = (fog_blk.get("enabled")
+                      or (blocks.get("depthOfField") or {}).get("enabled"))
+        img = jnp.asarray(linear)
+        depth = (self._primary_depth(scene, width, height)
+                 if need_depth else None)
+
+        if atmo_blk.get("enabled"):
+            settings = atmo_mod.settings_from_config(atmo_blk)
+            img = atmo_mod.apply_sky_to_image(
+                scene, img, width, height, settings,
+                go_camera=self.go_camera)
+        if fog_blk.get("enabled"):
+            img = fx.apply_fog(
+                img, jnp.minimum(depth, 1e4),
+                fog_color=tuple(fog_blk.get("color", (0.75, 0.78, 0.82))),
+                mode=str(fog_blk.get("mode", "exp")),
+                density=float(fog_blk.get("density", 0.02)),
+                start=float(fog_blk.get("start", 0.0)),
+                end=float(fog_blk.get("end", 100.0)))
+        if vol_blk.get("enabled"):
+            n_px = width * height
+            xs = (jnp.arange(n_px, dtype=jnp.float32) % width + 0.5) / width
+            ys = (jnp.arange(n_px, dtype=jnp.float32) // width
+                  + 0.5) / height
+            rays = cam_mod.go_rays if self.go_camera else cam_mod.lookat_rays
+            o, d = rays(scene.camera, xs, ys)
+            vol = fx.volumetric_light(
+                o, d, jnp.full((n_px,), float(vol_blk.get("maxDist", 20.0))),
+                scene.lights,
+                steps=int(vol_blk.get("steps", 64)),
+                density=float(vol_blk.get("density", 0.02)),
+                scattering=float(vol_blk.get("scattering", 0.5)))
+            img = img + vol.reshape(height, width, 3)
+        img = fx.apply_config_effects(img, blocks, depth=depth)
+        return np.asarray(img)
 
     # -- IO parity ----------------------------------------------------------
     def save_image(self, img: np.ndarray, filename: str):

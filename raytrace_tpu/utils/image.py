@@ -28,10 +28,14 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
         raise ValueError(f"expected (H,W,3|4), got {img.shape}")
     h, w, c = img.shape
     color_type = 2 if c == 3 else 6
-    # filter byte 0 (None) per scanline
-    raw = np.empty((h, 1 + w * c), np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = img.reshape(h, w * c)
+    # Paeth-filter scanlines via the native codec when available
+    # (smaller output); otherwise filter byte 0 (None).
+    from .. import native
+    raw = native.png_filter_paeth_native(img.reshape(h, w * c), c)
+    if raw is None:
+        raw = np.empty((h, 1 + w * c), np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = img.reshape(h, w * c)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n"
             + _chunk(b"IHDR", ihdr)
@@ -79,8 +83,12 @@ def read_png(path: str) -> np.ndarray:
     stride = w * channels
     raw = raw.reshape(h, 1 + stride)
     filters, lines = raw[:, 0], raw[:, 1:]
-    out = np.zeros((h, stride), np.uint8)
     bpp = channels
+    from .. import native
+    nat = native.png_unfilter_native(filters, lines, bpp)
+    if nat is not None:
+        return nat.reshape(h, w, channels)
+    out = np.zeros((h, stride), np.uint8)
     for y in range(h):
         f, line = filters[y], lines[y].copy()
         prev = out[y - 1] if y else np.zeros(stride, np.uint8)

@@ -276,3 +276,21 @@ def test_benchmark_suite_runs():
     assert res[0].rays_per_second > 0
     rep = suite.report_dict()
     assert rep["results"][0]["samples"] == 1
+
+
+# --- scene-config effects wiring -------------------------------------------
+
+def test_render_honors_config_blocks(simple_scene_dict):
+    import raytrace_tpu as rt
+    d = dict(simple_scene_dict)
+    d["atmospheric"] = {"enabled": True, "preset": "sunset"}
+    d["fog"] = {"enabled": True, "density": 0.05}
+    d["vignette"] = {"enabled": True}
+    scene, cfg = rt.scene_from_dict(d)
+    r = rt.Renderer()
+    r.samples, r.max_depth = 1, 3
+    plain = r.render(scene, 16, 12)
+    with_fx = r.render(scene, 16, 12, scene_config=cfg)
+    assert with_fx.shape == plain.shape
+    # sunset sky fills the miss pixels -> image brightens
+    assert with_fx.astype(float).mean() > plain.astype(float).mean()
