@@ -79,17 +79,14 @@ def _uniform4(pix, samp, stream, seed):
 
 
 def _unit_ball(pix, samp, stream, seed):
-    """Component form of rng.unit_ball (same draws, same mapping)."""
+    """Component form of rng.unit_ball - calls the SAME short-polynomial
+    sincos/cbrt as the jnp path, so both paths stay bit-identical."""
     u1, u2, u3, _ = _uniform4(pix, samp, stream, seed)
     z = 2.0 * u1 - 1.0
-    phi = np.float32(2.0 * np.pi) * u2
+    sin_p, cos_p = rng.sincos_2pi(u2)
     rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    # Mosaic has no cbrt primitive: x^(1/3) = exp2(log2(x)/3), guarded at 0.
-    z0 = u3 <= 0.0
-    r = jnp.where(z0, 0.0,
-                  jnp.exp2(jnp.log2(jnp.where(z0, 1.0, u3))
-                           * np.float32(1.0 / 3.0)))
-    return r * rho * jnp.cos(phi), r * rho * jnp.sin(phi), r * z
+    r = rng.cbrt01(u3)
+    return r * rho * cos_p, r * rho * sin_p, r * z
 
 
 # ---------------------------------------------------------------------------
@@ -375,27 +372,40 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
                     live = dist >= 1e-3  # renderer.go:252-254
 
                     hard = any_hit_pre(sph_pre, tri_pre, tri, ldx, ldy, ldz, dist)
+                    cos_t = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
                     if soft:
-                        unblocked = jnp.zeros(px.shape)
-                        for s in range(shadow_samples):
-                            stream = (bounce.astype(jnp.uint32)
-                                      * np.uint32(rng.STREAMS_PER_BOUNCE)
-                                      + np.uint32(rng.shadow_stream(
-                                          li, s, shadow_samples)))
-                            bx, by, bz = _unit_ball(pix, samp, stream, seed)
-                            sdx, sdy, sdz = _norm3(ldx + 0.1 * bx,
-                                                   ldy + 0.1 * by,
-                                                   ldz + 0.1 * bz)
-                            b = any_hit_pre(sph_pre, tri_pre, tri,
-                                        sdx, sdy, sdz, dist)
-                            unblocked += jnp.where(b, 0.0, 1.0)
-                        sf = jnp.where(hard, 0.0,
-                                       unblocked * np.float32(
-                                           1.0 / shadow_samples))
+                        # The 16-sample loop is ~70% of a bounce; sf only
+                        # multiplies terms that carry a cos factor, so any
+                        # block whose live lanes are all hard-blocked or
+                        # back-facing can skip it with exact parity.
+                        need = alive2 & ~hard & (cos_t > 0.0)
+
+                        def _soft(_):
+                            unblocked = jnp.zeros(px.shape)
+                            for s in range(shadow_samples):
+                                stream = (bounce.astype(jnp.uint32)
+                                          * np.uint32(
+                                              rng.STREAMS_PER_BOUNCE)
+                                          + np.uint32(rng.shadow_stream(
+                                              li, s, shadow_samples)))
+                                bx, by, bz = _unit_ball(pix, samp, stream,
+                                                        seed)
+                                sdx, sdy, sdz = _norm3(ldx + 0.1 * bx,
+                                                       ldy + 0.1 * by,
+                                                       ldz + 0.1 * bz)
+                                b = any_hit_pre(sph_pre, tri_pre, tri,
+                                                sdx, sdy, sdz, dist)
+                                unblocked += jnp.where(b, 0.0, 1.0)
+                            return unblocked * np.float32(
+                                1.0 / shadow_samples)
+
+                        soft_sf = jax.lax.cond(
+                            jnp.any(need), _soft,
+                            lambda _: jnp.zeros(px.shape), 0)
+                        sf = jnp.where(hard, 0.0, soft_sf)
                     else:
                         sf = jnp.where(hard, 0.0, 1.0)
 
-                    cos_t = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
                     inten = cos_t * lint / (dist * dist)
                     dscale = dstr * inten * sf
                     hx, hy, hz = _norm3(ldx + vx, ldy + vy, ldz + vz)
@@ -615,6 +625,142 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
 # ---------------------------------------------------------------------------
 # Host-side wrapper
 # ---------------------------------------------------------------------------
+
+def _affine_camera(scene, go_camera: bool):
+    """Camera as direction = A + u*B + v*C from `origin` - both the Go
+    fixed-viewport camera (renderer.go:377-390) and the look-at camera are
+    affine in (u, v), so one (4,3) SMEM table serves the mask kernel."""
+    cam = scene.camera
+    f32 = jnp.float32
+    if go_camera:
+        vp_w = 2.0 * cam.aspect_ratio
+        origin = cam.position.astype(f32)
+        B = jnp.stack([vp_w, jnp.zeros_like(vp_w),
+                       jnp.zeros_like(vp_w)]).astype(f32)
+        C = jnp.asarray([0.0, 2.0, 0.0], f32)
+        A = -B / 2.0 - C / 2.0 - jnp.asarray([0.0, 0.0, 1.0], f32)
+    else:
+        origin = cam.position.astype(f32)
+        fwd = cam.look_at - cam.position
+        fwd = fwd / jnp.linalg.norm(fwd)
+        right = jnp.cross(fwd, cam.up)
+        right = right / jnp.linalg.norm(right)
+        up = jnp.cross(right, fwd)
+        theta = cam.fov * (np.pi / 180.0)
+        half_h = jnp.tan(theta / 2.0)
+        half_w = cam.aspect_ratio * half_h
+        A = (fwd - half_w * right - half_h * up).astype(f32)
+        B = (2.0 * half_w * right).astype(f32)
+        C = (2.0 * half_h * up).astype(f32)
+    return jnp.stack([origin, A, B, C])  # (4,3)
+
+
+def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
+                        height: int, cfg, go_camera: bool = True,
+                        block_rows: int = 256,
+                        interpret: bool | None = None):
+    """Fused primary-hit mask: jitter -> camera ray -> any-hit, (B,) f32.
+
+    The XLA form materializes rays and per-primitive t arrays to HBM
+    (~25 array passes over 48M lanes); this kernel keeps everything in
+    registers and writes one f32 per lane.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    ns = scene.geometry.sph_center.shape[0]
+    nt = scene.geometry.tri_v0.shape[0]
+    seed = cfg.seed
+    t_min = np.float32(1e-3)
+    inv_w = np.float32(1.0 / width)
+    inv_h = np.float32(1.0 / height)
+
+    def kernel(sph_ref, tri_ref, cam_ref, pix_ref, samp_ref, px_ref,
+               py_ref, out_ref):
+        pix = pix_ref[:]
+        samp = samp_ref[:]
+        ju, jv, _, _ = _uniform4(pix, samp, rng.Streams.CAMERA_JITTER,
+                                 seed)
+        u = (px_ref[:] + ju) * inv_w
+        v = (py_ref[:] + jv) * inv_h
+        ox = cam_ref[0, 0] + jnp.zeros_like(u)
+        oy = cam_ref[0, 1] + jnp.zeros_like(u)
+        oz = cam_ref[0, 2] + jnp.zeros_like(u)
+        dx = cam_ref[1, 0] + u * cam_ref[2, 0] + v * cam_ref[3, 0]
+        dy = cam_ref[1, 1] + u * cam_ref[2, 1] + v * cam_ref[3, 1]
+        dz = cam_ref[1, 2] + u * cam_ref[2, 2] + v * cam_ref[3, 2]
+
+        # CONSERVATIVE tests (small epsilon slack): the trace kernel
+        # recomputes rays in a different float op order; a lane this mask
+        # wrongly includes just traces to black, but one wrongly excluded
+        # would lose radiance.
+        eps = np.float32(1e-4)
+        blocked = jnp.zeros(u.shape, bool)
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        for j in range(ns):
+            cx, cy, cz, r = (sph_ref[j, 0], sph_ref[j, 1], sph_ref[j, 2],
+                             sph_ref[j, 3])
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = half_b * half_b - a * c
+            ok = disc >= -eps
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            blocked |= ok & ((r0 >= t_min - eps) | (r1 >= t_min - eps))
+        for j in range(nt):
+            v0x, v0y, v0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
+            e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
+            e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            good = jnp.abs(det) >= 1e-7
+            f = 1.0 / jnp.where(good, det, 1.0)
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            uu = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            vv = f * (dx * qx + dy * qy + dz * qz)
+            tj = f * (e2x * qx + e2y * qy + e2z * qz)
+            blocked |= (good & (uu >= -eps) & (uu <= 1.0 + eps)
+                        & (vv >= -eps) & (uu + vv <= 1.0 + eps)
+                        & (tj >= t_min - eps))
+        out_ref[:] = jnp.where(blocked, 1.0, 0.0)
+
+    B = pix_id.shape[0]
+    blk = block_rows * LANE
+    n_blocks = -(-B // blk)
+    pad = n_blocks * blk - B
+    prep = lambda x: jnp.pad(x, (0, pad)).reshape(-1, LANE)
+
+    sph, tri, lit, mat = pack_tables(scene)
+    pad1 = lambda a: a if a.shape[0] else jnp.zeros((1,) + a.shape[1:],
+                                                    a.dtype)
+    sph, tri = pad1(sph), pad1(tri)
+    cam = _affine_camera(scene, go_camera)
+
+    rows = n_blocks * block_rows
+    table_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    lane_spec = lambda: pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[table_spec() for _ in range(3)]
+        + [lane_spec() for _ in range(4)],
+        out_specs=lane_spec(),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+        interpret=interpret,
+    )(sph, tri, cam, prep(pix_id.astype(jnp.uint32)),
+      prep(samp_id.astype(jnp.uint32)),
+      prep(px.astype(jnp.float32)), prep(py.astype(jnp.float32)))
+    return out.reshape(-1)[:B]
+
 
 def pack_tables(scene):
     """Scene pytree -> packed f32 tables (spheres, tris, lights, mats)."""

@@ -19,6 +19,7 @@ so every (pixel, sample, bounce, site) tuple gets an independent draw.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 # Max distinct draw sites per bounce. Shadow sampling uses
@@ -82,6 +83,49 @@ def uniform4(pix_id, samp_id, stream, seed):
     return _to_unit_float(x), _to_unit_float(y), _to_unit_float(z), _to_unit_float(w)
 
 
+def sincos_2pi(u):
+    """(sin(2*pi*u), cos(2*pi*u)) for u in [0,1) via quadrant-reduced
+    Taylor polynomials (~1e-7 max error).
+
+    The unit-ball sampler runs 33x per bounce per lane in the Pallas
+    megakernel; library sin/cos lower to long polynomial chains on the
+    TPU VPU, so a shared short-polynomial version is used by BOTH the jnp
+    and Pallas paths (keeping them bit-identical).
+    """
+    u = jnp.asarray(u, jnp.float32)
+    t = 4.0 * u                      # quarter turns, [0, 4)
+    q = jnp.floor(t + 0.5)           # nearest quadrant 0..4
+    r = (t - q) * np.float32(np.pi / 2.0)  # [-pi/4, pi/4]
+    r2 = r * r
+    s = r * (1.0 + r2 * (np.float32(-1.0 / 6.0)
+                         + r2 * (np.float32(1.0 / 120.0)
+                                 + r2 * np.float32(-1.0 / 5040.0))))
+    c = 1.0 + r2 * (np.float32(-0.5)
+                    + r2 * (np.float32(1.0 / 24.0)
+                            + r2 * np.float32(-1.0 / 720.0)))
+    qm = q.astype(jnp.int32) & 3
+    sin = jnp.where(qm == 0, s, jnp.where(qm == 1, c,
+                    jnp.where(qm == 2, -s, -c)))
+    cos = jnp.where(qm == 0, c, jnp.where(qm == 1, -s,
+                    jnp.where(qm == 2, -c, s)))
+    return sin, cos
+
+
+def cbrt01(u):
+    """x**(1/3) for x in [0,1) via a bit-level seed + 2 Newton steps
+    (~1e-7 relative error); much cheaper than exp2(log2(x)/3) on the VPU
+    and available inside Pallas (Mosaic has no cbrt primitive)."""
+    u = jnp.asarray(u, jnp.float32)
+    zero = u <= 0.0
+    x = jnp.where(zero, 1.0, u)
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    g = jax.lax.bitcast_convert_type(i // 3 + np.int32(0x2A514067),
+                                     jnp.float32)
+    for _ in range(2):
+        g = (2.0 * g + x / (g * g)) * np.float32(1.0 / 3.0)
+    return jnp.where(zero, 0.0, g)
+
+
 def unit_ball(pix_id, samp_id, stream, seed):
     """Uniform sample inside the unit ball, shape (..., 3).
 
@@ -91,10 +135,10 @@ def unit_ball(pix_id, samp_id, stream, seed):
     """
     u1, u2, u3, _ = uniform4(pix_id, samp_id, stream, seed)
     z = 2.0 * u1 - 1.0
-    phi = (2.0 * np.pi) * u2
+    sin_p, cos_p = sincos_2pi(u2)
     rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
-    r = jnp.cbrt(u3)
-    return jnp.stack([r * rho * jnp.cos(phi), r * rho * jnp.sin(phi), r * z], axis=-1)
+    r = cbrt01(u3)
+    return jnp.stack([r * rho * cos_p, r * rho * sin_p, r * z], axis=-1)
 
 
 def shadow_stream(light_index, sample_index, shadow_samples):
