@@ -49,6 +49,17 @@ BIG = np.float32(3.0e38)
 DEFAULT_BLOCK_ROWS = 16
 LANE = 128
 
+# The kernel unrolls primitive/material loops over compile-time scene
+# sizes; past this many "intersection sites" the unrolled code (and
+# Mosaic compile time) grows unreasonably and the jnp path wins anyway.
+MAX_KERNEL_PRIMS = 96
+
+
+def scene_fits_kernel(scene) -> bool:
+    ns = scene.geometry.sph_center.shape[0]
+    nt = scene.geometry.tri_v0.shape[0]
+    return (ns + nt) <= MAX_KERNEL_PRIMS
+
 
 # ---------------------------------------------------------------------------
 # In-kernel helpers (component SoA: x,y,z as separate (R,128) tiles)
@@ -657,8 +668,11 @@ def _affine_camera(scene, go_camera: bool):
 
 def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
                         height: int, cfg, go_camera: bool = True,
-                        block_rows: int = 256,
+                        block_rows: int = 64,
                         interpret: bool | None = None):
+    # block_rows=64 keeps Mosaic's spilled temporaries (which scale with
+    # block size x unrolled primitive count) well under the VMEM limit
+    # even for ~100-primitive scenes; mask throughput is flat 64..1024.
     """Fused primary-hit mask: jitter -> camera ray -> any-hit, (B,) f32.
 
     The XLA form materializes rays and per-primitive t arrays to HBM

@@ -427,6 +427,12 @@ class Renderer:
         if engine == "auto":
             engine = ("pallas" if jax.default_backend() == "tpu"
                       else "jnp")
+        if engine == "pallas" and not megakernel.scene_fits_kernel(scene):
+            # The megakernel unrolls primitive loops over compile-time
+            # scene sizes; very large scenes would explode code size and
+            # compile time, so they take the jnp path (which scales as
+            # batched (lanes x primitives) array ops).
+            engine = "jnp"
         if engine == "pallas":
             return render_wavefront(scene, width=width, height=height,
                                     samples=self.samples, cfg=cfg,
