@@ -9,7 +9,9 @@ jax.distributed + collectives.
 
 from .mesh import make_mesh, single_device_mesh
 from .shard import render_band_sharded, render_linear_sharded
-from .checkpoint import Accumulator, GracefulShutdown, render_with_checkpoints
+from .checkpoint import (Accumulator, ContextShutdown, GracefulShutdown,
+                         ResourceManager, SignalHandler,
+                         render_with_checkpoints)
 from .distributed import (DistributedRenderer, NodeStatus, heartbeat,
                           initialize)
 
@@ -17,5 +19,6 @@ __all__ = [
     "make_mesh", "single_device_mesh",
     "render_band_sharded", "render_linear_sharded",
     "Accumulator", "GracefulShutdown", "render_with_checkpoints",
+    "ResourceManager", "ContextShutdown", "SignalHandler",
     "DistributedRenderer", "NodeStatus", "heartbeat", "initialize",
 ]

@@ -119,6 +119,92 @@ def render_with_checkpoints(renderer, scene, width: int, height: int, *,
     return acc.mean()
 
 
+class ResourceManager:
+    """Named-resource close-all (graceful.go:130-208, working form).
+
+    Resources register a close() callable under a name; close_all runs
+    them newest-first collecting errors instead of aborting."""
+
+    def __init__(self):
+        self._resources = []  # (name, closer)
+
+    def register(self, name: str, closer) -> None:
+        self._resources.append((name, closer))
+
+    def close(self, name: str):
+        errs = []
+        keep = []
+        for n, c in self._resources:
+            if n == name:
+                try:
+                    c()
+                except Exception as e:
+                    errs.append((n, e))
+            else:
+                keep.append((n, c))
+        self._resources = keep
+        return errs
+
+    def close_all(self):
+        errs = []
+        for name, closer in reversed(self._resources):
+            try:
+                closer()
+            except Exception as e:
+                errs.append((name, e))
+        self._resources = []
+        return errs
+
+
+class ContextShutdown:
+    """Parallel shutdown funcs with error collection (graceful.go:210-295).
+
+    Runs all registered shutdown callables concurrently with a deadline;
+    returns the list of (name, error) failures (empty = clean)."""
+
+    def __init__(self, timeout: float = 10.0):
+        self.timeout = timeout
+        self._funcs = []
+
+    def register(self, name: str, fn) -> None:
+        self._funcs.append((name, fn))
+
+    def shutdown(self):
+        import concurrent.futures as cf
+        errs = []
+        with cf.ThreadPoolExecutor(max_workers=max(1, len(self._funcs))) \
+                as ex:
+            futs = {ex.submit(fn): name for name, fn in self._funcs}
+            done, pending = cf.wait(futs, timeout=self.timeout)
+            for f in done:
+                exc = f.exception()
+                if exc is not None:
+                    errs.append((futs[f], exc))
+            for f in pending:
+                errs.append((futs[f], TimeoutError("shutdown timeout")))
+                f.cancel()
+        return errs
+
+
+class SignalHandler:
+    """signal -> action map (graceful.go:297-344, working form)."""
+
+    def __init__(self):
+        self._actions = {}
+        self._prev = {}
+
+    def register(self, signum, action) -> None:
+        self._actions[signum] = action
+        self._prev[signum] = signal.signal(
+            signum, lambda s, frame: self._actions[s]())
+
+    def uninstall(self) -> None:
+        for signum, prev in self._prev.items():
+            signal.signal(signum, prev)
+        self._prev.clear()
+        self._actions.clear()
+
+
 class GracefulShutdown:
     """Signal-driven ordered cleanup (graceful.go:35-118, working form).
 
