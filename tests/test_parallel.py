@@ -147,3 +147,40 @@ def test_distributed_renderer_stats(small_scene):
     assert img.shape == (8, 16, 3)
     s = d.get_stats()
     assert s["completed_jobs"] == 1 and s["success_rate"] == 1.0
+
+
+def test_resource_manager_close_all_order_and_errors():
+    ran = []
+    rm = parallel.ResourceManager()
+    rm.register("a", lambda: ran.append("a"))
+    rm.register("b", lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+    rm.register("c", lambda: ran.append("c"))
+    errs = rm.close_all()
+    assert ran == ["c", "a"]  # newest first
+    assert len(errs) == 1 and errs[0][0] == "b"
+    assert rm.close_all() == []  # idempotent
+
+
+def test_context_shutdown_collects_timeouts_and_errors():
+    import time as _t
+    cs = parallel.ContextShutdown(timeout=0.2)
+    cs.register("ok", lambda: None)
+    cs.register("err", lambda: (_ for _ in ()).throw(ValueError("x")))
+    cs.register("slow", lambda: _t.sleep(5.0))
+    errs = dict(cs.shutdown())
+    assert "ok" not in errs
+    assert isinstance(errs["err"], ValueError)
+    assert isinstance(errs["slow"], TimeoutError)
+
+
+def test_signal_handler_map():
+    import signal
+
+    hits = []
+    sh = parallel.SignalHandler()
+    sh.register(signal.SIGUSR1, lambda: hits.append(1))
+    try:
+        os.kill(os.getpid(), signal.SIGUSR1)
+    finally:
+        sh.uninstall()
+    assert hits == [1]
