@@ -377,6 +377,7 @@ class Renderer:
         self.engine = "auto"  # "auto" | "pallas" | "jnp"
         self.benchmark_data = BenchmarkData()
         self.progress_callback = None  # fn(done_rows, total_rows)
+        self.metrics = None  # optional obs.MetricsCollector
 
     # -- settings parity (settings.go:3-25) --------------------------------
     def set_samples(self, n):
@@ -433,10 +434,17 @@ class Renderer:
             # compile time, so they take the jnp path (which scales as
             # batched (lanes x primitives) array ops).
             engine = "jnp"
+        if self.metrics is not None:
+            self.metrics.start(total_pixels=width * height)
         if engine == "pallas":
-            return render_wavefront(scene, width=width, height=height,
-                                    samples=self.samples, cfg=cfg,
-                                    go_camera=self.go_camera)
+            out = render_wavefront(scene, width=width, height=height,
+                                   samples=self.samples, cfg=cfg,
+                                   go_camera=self.go_camera)
+            if self.metrics is not None:
+                self.metrics.record_pixels(width * height)
+                self.metrics.record_rays(width * height * self.samples)
+                self.metrics.record_job_complete()
+            return out
         bh = band_h or pick_band_height(width, height, self.samples)
         out = np.zeros((height, width, 3), np.float32)
         futures = []
@@ -458,8 +466,14 @@ class Renderer:
                 futures.append((y0, band))
             if self.progress_callback:
                 self.progress_callback(min(y0 + bh, height), height)
+            if self.metrics is not None:
+                rows = min(bh, height - y0)
+                self.metrics.record_pixels(rows * width)
+                self.metrics.record_rays(rows * width * self.samples)
         for y0, band in futures:
             out[y0:y0 + bh] = np.asarray(band)
+        if self.metrics is not None:
+            self.metrics.record_job_complete()
         return out
 
     def render(self, scene, width: int, height: int,
