@@ -307,7 +307,8 @@ def _pad_bucket(k: int, quantum: int) -> int:
 
 def render_wavefront(scene, *, width: int, height: int, samples: int,
                      cfg: trace_mod.TraceConfig, go_camera: bool = True,
-                     block_rows: int = 8) -> np.ndarray:
+                     block_rows: int = 8, as_numpy: bool = True,
+                     assume_capacity: bool = False):
     """Compacted-wavefront render: (H, W, 3) mean linear radiance.
 
     Pipeline (all on device): primary any-hit over every lane (XLA) ->
@@ -330,12 +331,17 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
             scene, k_pad=k_pad, width=width, height=height,
             samples=samples, cfg=cfg, go_camera=go_camera,
             block_rows=block_rows)
-        img_np, k_px = jax.device_get((img, k_dev))
-        k_px = int(k_px)
+        if assume_capacity:
+            # Caller guarantees the scene is unchanged since a validated
+            # render: skip the capacity-check sync entirely so back-to-back
+            # frames pipeline with no host round-trip (per-call RPC latency
+            # dominates on a tunneled TPU; it's ~us on local hardware).
+            return np.asarray(img) if as_numpy else img
+        k_px = int(k_dev)  # scalar sync; the image stays on device
         want = min(_pad_bucket(max(k_px, 1), quantum), width * height)
         if k_px <= k_pad and k_pad <= max(2 * want, quantum):
             _KPAD_CACHE[cache_key] = want if k_px > 0 else k_pad
-            return np.asarray(img_np)
+            return np.asarray(img) if as_numpy else img
         # capacity stale (scene changed): fall through and redo.
 
     hit_px, pos_px, k_dev = _pixel_mask(
@@ -343,7 +349,8 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         go_camera=go_camera)
     k_px = int(k_dev)  # host sync sizes the launch
     if k_px <= 0:
-        return np.zeros((height, width, 3), np.float32)
+        z = np.zeros((height, width, 3), np.float32)
+        return z if as_numpy else jnp.asarray(z)
 
     k_pad = min(_pad_bucket(k_px, quantum), width * height)
     _KPAD_CACHE[cache_key] = k_pad
@@ -351,7 +358,7 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad, width=width,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
         block_rows=block_rows)
-    return np.asarray(img)
+    return np.asarray(img) if as_numpy else img
 
 
 class Renderer:
@@ -419,6 +426,24 @@ class Renderer:
             russian_roulette_start=8 if self.fast_mc else None,
             throughput_epsilon=1e-4 if self.fast_mc else 0.0,
         )
+
+    def render_linear_device(self, scene, width: int, height: int):
+        """Full-image mean linear radiance as a DEVICE array (H,W,3).
+
+        Skips the device->host image copy (which dominates wall time on a
+        tunneled TPU and costs a PCIe hop even locally); use for
+        benchmarking, on-device post-processing, or chained pipelines.
+        Falls back to the numpy path off-TPU.
+        """
+        cfg = self.trace_config()
+        if (jax.default_backend() == "tpu"
+                and self.engine in ("auto", "pallas")
+                and megakernel.scene_fits_kernel(scene)):
+            return render_wavefront(scene, width=width, height=height,
+                                    samples=self.samples, cfg=cfg,
+                                    go_camera=self.go_camera,
+                                    as_numpy=False)
+        return jnp.asarray(self.render_linear(scene, width, height))
 
     def render_linear(self, scene, width: int, height: int,
                       band_h: Optional[int] = None) -> np.ndarray:
