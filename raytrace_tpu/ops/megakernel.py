@@ -582,6 +582,24 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
                 if cfg.throughput_epsilon > 0.0:
                     tmax = jnp.maximum(n_tpx, jnp.maximum(n_tpy, n_tpz))
                     next_alive &= tmax >= np.float32(cfg.throughput_epsilon)
+                if cfg.russian_roulette_start is not None:
+                    # Mirror trace._bounce_body exactly (same stream, same
+                    # clamp) so fast_mc renders agree across engines.
+                    q = jnp.clip(jnp.maximum(n_tpx,
+                                             jnp.maximum(n_tpy, n_tpz)),
+                                 0.05, 1.0)
+                    rr_stream = (bounce.astype(jnp.uint32)
+                                 * np.uint32(rng.STREAMS_PER_BOUNCE)
+                                 + np.uint32(rng.Streams.RUSSIAN_ROULETTE))
+                    u_rr = _uniform4(pix, samp, rr_stream, seed)[0]
+                    do_rr = bounce >= cfg.russian_roulette_start
+                    kill = do_rr & (u_rr >= q)
+                    next_alive &= ~kill
+                    boost = do_rr & next_alive
+                    inv_q = 1.0 / q
+                    n_tpx = jnp.where(boost, n_tpx * inv_q, n_tpx)
+                    n_tpy = jnp.where(boost, n_tpy * inv_q, n_tpy)
+                    n_tpz = jnp.where(boost, n_tpz * inv_q, n_tpz)
 
                 n_ox = jnp.where(scat, px, ox)
                 n_oy = jnp.where(scat, py, oy)

@@ -148,3 +148,15 @@ def test_wavefront_empty_scene():
         s, width=8, height=8, samples=2,
         cfg=trace_mod.TraceConfig(max_depth=4))
     np.testing.assert_array_equal(img, 0.0)
+
+
+@SLOW
+def test_kernel_russian_roulette_matches_oracle(scene):
+    import dataclasses
+    cfg = dataclasses.replace(CFG, russian_roulette_start=1,
+                              throughput_epsilon=1e-4)
+    o, d, pix, samp = _lanes(scene, 8, 6, 1, cfg)
+    ref = np.asarray(trace_mod.trace(scene, o, d, pix, samp, cfg))
+    out = np.asarray(mk.trace_pallas(scene, o, d, pix, samp, cfg,
+                                     interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
