@@ -8,7 +8,8 @@ jax.distributed + collectives.
 """
 
 from .mesh import make_mesh, single_device_mesh
-from .shard import render_band_sharded, render_linear_sharded
+from .shard import (render_band_sharded, render_linear_sharded,
+                    render_wavefront_sharded)
 from .checkpoint import (Accumulator, ContextShutdown, GracefulShutdown,
                          ResourceManager, SignalHandler,
                          render_with_checkpoints)
@@ -18,6 +19,7 @@ from .distributed import (DistributedRenderer, NodeStatus, heartbeat,
 __all__ = [
     "make_mesh", "single_device_mesh",
     "render_band_sharded", "render_linear_sharded",
+    "render_wavefront_sharded",
     "Accumulator", "GracefulShutdown", "render_with_checkpoints",
     "ResourceManager", "ContextShutdown", "SignalHandler",
     "DistributedRenderer", "NodeStatus", "heartbeat", "initialize",

@@ -77,6 +77,95 @@ def render_band_sharded(scene, band_y0, *, width: int, height: int,
     return (out[:n_px] / samples).reshape(band_h, width, 3)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
+                                   "go_camera", "mesh", "px_capacity",
+                                   "block_rows"))
+def render_wavefront_sharded(scene, *, width: int, height: int,
+                             samples: int, cfg: trace_mod.TraceConfig,
+                             mesh, go_camera: bool = True,
+                             px_capacity: int = 0, block_rows: int = 8):
+    """Compacted Pallas wavefront, sharded over the ``px`` mesh axis.
+
+    Each device owns a contiguous band of rows and runs the full
+    single-chip pipeline locally: primary any-hit mask -> pixel-granular
+    cumsum compaction into a STATIC per-device capacity -> bounce
+    megakernel -> per-pixel scatter-add into its image shard. No
+    collective traffic during the frame (pixels are disjoint); the only
+    cross-device output is the row-sharded image plus a psum'ed overflow
+    count that the caller must check: overflow > 0 means some device had
+    more hit pixels than `px_capacity` and the frame must be re-rendered
+    with a larger capacity (capacities are compile-time; a dynamic count
+    cannot size a kernel launch inside SPMD).
+
+    Returns (image (H,W,3) row-sharded, overflow scalar).
+    """
+    from ..ops import intersect, megakernel
+    from .. import renderer as renderer_mod
+
+    n_shards = mesh.shape["px"]
+    if mesh.shape.get("sp", 1) != 1:
+        raise ValueError("render_wavefront_sharded shards pixels only; "
+                         "build the mesh with sp=1")
+    if height % n_shards:
+        raise ValueError(f"height {height} must divide the px axis "
+                         f"({n_shards}) for the sharded wavefront")
+    rows_local = height // n_shards
+    n_px_local = rows_local * width
+    if px_capacity <= 0:
+        px_capacity = max(1, n_px_local // 2)
+
+    row0 = jnp.arange(n_shards, dtype=jnp.int32) * rows_local  # (S,)
+
+    def local(scene, row0_l):
+        base = row0_l[0] * width
+        pix = (base + jnp.arange(n_px_local)).astype(jnp.uint32)
+        pix_id = jnp.repeat(pix, samples)
+        samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32),
+                           n_px_local)
+        origin, direction = renderer_mod._lane_rays(
+            scene, pix_id, samp_id, width=width, height=height, cfg=cfg,
+            go_camera=go_camera)
+        hit = intersect.any_hit(scene.geometry, origin, direction, 1e-3,
+                                intersect.BIG)
+        hit_px = jnp.any(hit.reshape(n_px_local, samples), axis=1)
+        pos = jnp.cumsum(hit_px.astype(jnp.int32)) - 1
+        k_px = pos[-1] + 1
+        overflow = jnp.maximum(0, k_px - px_capacity)
+
+        target = jnp.where(hit_px, jnp.minimum(pos, px_capacity - 1),
+                           px_capacity)
+        cidx = jnp.zeros((px_capacity,), jnp.int32).at[target].set(
+            jnp.arange(n_px_local, dtype=jnp.int32), mode="drop")
+
+        pix_c = (base + cidx).astype(jnp.uint32)
+        pix_lanes = jnp.repeat(pix_c, samples)
+        samp_lanes = jnp.tile(jnp.arange(samples, dtype=jnp.uint32),
+                              px_capacity)
+        o_c, d_c = renderer_mod._lane_rays(
+            scene, pix_lanes, samp_lanes, width=width, height=height,
+            cfg=cfg, go_camera=go_camera)
+        rad = megakernel.trace_pallas(scene, o_c, d_c, pix_lanes,
+                                      samp_lanes, cfg,
+                                      block_rows=block_rows)
+        px_sum = rad.reshape(px_capacity, samples, 3).sum(axis=1)
+        valid = jnp.arange(px_capacity) < jnp.minimum(k_px, px_capacity)
+        tgt = jnp.where(valid, cidx, n_px_local)
+        img = jnp.zeros((n_px_local, 3), rad.dtype).at[tgt].add(
+            px_sum, mode="drop") / samples
+        return (img.reshape(rows_local, width, 3),
+                jax.lax.psum(overflow, "px"))
+
+    # check_vma=False: pallas_call out_shapes don't carry varying-axes
+    # metadata, which the vma type checker would otherwise demand.
+    img, overflow = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("px")),
+        out_specs=(P("px"), P()),
+        check_vma=False,
+    )(scene, row0)
+    return img.reshape(height, width, 3), overflow
+
+
 def render_linear_sharded(scene, width: int, height: int, *, samples: int,
                           cfg: trace_mod.TraceConfig, mesh,
                           go_camera: bool = True, band_h=None) -> np.ndarray:

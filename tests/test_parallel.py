@@ -184,3 +184,46 @@ def test_signal_handler_map():
     finally:
         sh.uninstall()
     assert hits == [1]
+
+
+def test_sharded_wavefront_matches_jnp():
+    """Pixel-sharded compaction + megakernel under shard_map == jnp path."""
+    scene, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 8], "aspectRatio": 1.33},
+        "objects": [
+            {"type": "sphere", "position": [0, 0, 0], "radius": 1.0,
+             "material": {"type": "metal", "color": [0.8, 0.8, 0.9],
+                          "roughness": 0.1}},
+            {"type": "sphere", "position": [-2, 0, 0], "radius": 0.7,
+             "material": {"type": "glass", "color": [0.8, 0.2, 0.2]}},
+        ],
+        "lights": [{"type": "point", "position": [5, 5, 5],
+                    "color": [1, 1, 1], "intensity": 1.0}],
+    })
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=1)
+    img, ov = parallel.render_wavefront_sharded(
+        scene, width=16, height=16, samples=1, cfg=cfg,
+        mesh=parallel.make_mesh(px=8, sp=1))
+    assert int(ov) == 0
+    r = rt.Renderer()
+    r.engine, r.samples, r.max_depth = "jnp", 1, 3
+    ref = r.render_linear(scene, 16, 16)
+    np.testing.assert_allclose(np.asarray(img), ref, atol=1e-4)
+
+
+def test_sharded_wavefront_overflow_detected():
+    scene, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 3], "aspectRatio": 1.0},
+        "objects": [{"type": "sphere", "position": [0, 0, 0],
+                     "radius": 1.0,
+                     "material": {"type": "lambertian",
+                                  "color": [0.5, 0.5, 0.5]}}],
+        "lights": [{"type": "point", "position": [0, 5, 5],
+                    "color": [1, 1, 1], "intensity": 2.0}],
+    })
+    cfg = trace_mod.TraceConfig(max_depth=2, shadow_samples=1)
+    # capacity 1 pixel/device but the sphere covers many: must overflow
+    _, ov = parallel.render_wavefront_sharded(
+        scene, width=16, height=16, samples=1, cfg=cfg,
+        mesh=parallel.make_mesh(px=8, sp=1), px_capacity=1)
+    assert int(ov) > 0
