@@ -93,11 +93,28 @@ def triangle_t(origin, direction, v0, edge1, edge2, t_min, t_max):
     return jnp.where(valid, t, BIG)
 
 
+def plane_t(origin, direction, point, normal, t_min, t_max):
+    """Infinite-plane hit distances for all (lane, plane) pairs.
+
+    origin/direction: (B,3); point/normal: (Np,3) with normal unit.
+    Parity with plane.go:21-46: exact denominator==0 miss test, then
+    t = (point - origin).normal / denom in [t_min, t_max].
+    Returns t: (B,Np) with BIG where there is no valid hit.
+    """
+    denom = jnp.sum(direction[..., None, :] * normal, axis=-1)  # (B,Np)
+    para = denom == 0.0
+    t = (jnp.sum((point - origin[..., None, :]) * normal, axis=-1)
+         / jnp.where(para, 1.0, denom))
+    valid = (~para) & (t >= t_min) & (t <= t_max)
+    return jnp.where(valid, t, BIG)
+
+
 def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG) -> Hit:
     """hitWorld (renderer.go:333-346): closest hit across all primitives."""
     B = origin.shape[:-1]
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
+    npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
 
     ts = []
     if ns:
@@ -108,6 +125,9 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG) -> Hit:
         edge2 = geom.tri_v2 - geom.tri_v0
         ts.append(triangle_t(origin, direction, geom.tri_v0, edge1, edge2,
                              t_min, t_max))
+    if npl:
+        ts.append(plane_t(origin, direction, geom.pl_point,
+                          geom.pl_normal, t_min, t_max))
     if not ts:
         zeros3 = jnp.zeros(B + (3,), origin.dtype)
         return Hit(t=jnp.full(B, BIG, origin.dtype),
@@ -123,8 +143,10 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG) -> Hit:
     point = origin + direction * t[..., None]
 
     is_sphere = idx < ns if ns else jnp.zeros(B, bool)
+    is_plane = idx >= (ns + nt) if npl else jnp.zeros(B, bool)
     sph_idx = jnp.minimum(idx, max(ns - 1, 0))
     tri_idx = jnp.clip(idx - ns, 0, max(nt - 1, 0))
+    pl_idx = jnp.clip(idx - ns - nt, 0, max(npl - 1, 0))
 
     if ns:
         c = jnp.take(geom.sph_center, sph_idx, axis=0)
@@ -141,9 +163,17 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG) -> Hit:
     else:
         n_tri = jnp.zeros(B + (3,), origin.dtype)
         m_tri = jnp.zeros(B, jnp.int32)
+    if npl:
+        n_pl = jnp.take(geom.pl_normal, pl_idx, axis=0)
+        m_pl = jnp.take(geom.pl_mat, pl_idx, axis=0)
+    else:
+        n_pl = jnp.zeros(B + (3,), origin.dtype)
+        m_pl = jnp.zeros(B, jnp.int32)
 
-    outward = jnp.where(is_sphere[..., None], n_sph, n_tri)
-    mat_id = jnp.where(is_sphere, m_sph, m_tri)
+    outward = jnp.where(is_sphere[..., None], n_sph,
+                        jnp.where(is_plane[..., None], n_pl, n_tri))
+    mat_id = jnp.where(is_sphere, m_sph,
+                       jnp.where(is_plane, m_pl, m_tri))
     front_face = _dot(direction, outward) < 0.0
     normal = jnp.where(front_face[..., None], outward, -outward)
 
@@ -171,5 +201,10 @@ def any_hit(geom, origin, direction, t_min, t_max):
         edge1 = geom.tri_v1 - geom.tri_v0
         edge2 = geom.tri_v2 - geom.tri_v0
         t = triangle_t(origin, direction, geom.tri_v0, edge1, edge2, t_min, tm)
+        blocked |= jnp.any(t < BIG, axis=-1)
+    npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+    if npl:
+        t = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
+                    t_min, tm)
         blocked |= jnp.any(t < BIG, axis=-1)
     return blocked

@@ -58,7 +58,8 @@ MAX_KERNEL_PRIMS = 96
 def scene_fits_kernel(scene) -> bool:
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
-    return (ns + nt) <= MAX_KERNEL_PRIMS
+    npl = scene.geometry.pl_point.shape[0]
+    return (ns + nt + npl) <= MAX_KERNEL_PRIMS
 
 
 # ---------------------------------------------------------------------------
@@ -104,7 +105,7 @@ def _unit_ball(pix, samp, stream, seed):
 # Kernel factory
 # ---------------------------------------------------------------------------
 
-def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
+def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                  start_bounce: int = 0, end_bounce=None,
                  return_state: bool = False):
     """Build the kernel body for a scene shape (all sizes static).
@@ -120,7 +121,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
     seed = cfg.seed
     t_min = np.float32(1e-3)
 
-    def closest_hit(sph, tri, ox, oy, oz, dx, dy, dz):
+    def closest_hit(sph, tri, pln, ox, oy, oz, dx, dy, dz):
         """Returns (t, outward nx,ny,nz, mat_id_f). t==BIG on miss."""
         shape = ox.shape
         t_best = jnp.full(shape, BIG)
@@ -182,9 +183,24 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
             ny = jnp.where(win, fny, ny)
             nz = jnp.where(win, fnz, nz)
             mat = jnp.where(win, m, mat)
+        for j in range(npl):
+            ppx, ppy, ppz = pln[j, 0], pln[j, 1], pln[j, 2]
+            pnx, pny, pnz = pln[j, 3], pln[j, 4], pln[j, 5]
+            m = pln[j, 6]
+            # plane.go:21-46: exact denom==0 miss, t = (p-o).n / denom
+            denom = dx * pnx + dy * pny + dz * pnz
+            para = denom == 0.0
+            tj = ((ppx - ox) * pnx + (ppy - oy) * pny
+                  + (ppz - oz) * pnz) / jnp.where(para, 1.0, denom)
+            win = (~para) & (tj >= t_min) & (tj < t_best)
+            t_best = jnp.where(win, tj, t_best)
+            nx = jnp.where(win, pnx, nx)
+            ny = jnp.where(win, pny, ny)
+            nz = jnp.where(win, pnz, nz)
+            mat = jnp.where(win, m, mat)
         return t_best, nx, ny, nz, mat
 
-    def occl_precompute(sph, tri, ox, oy, oz):
+    def occl_precompute(sph, tri, pln, ox, oy, oz):
         """Origin-only terms shared by ALL shadow rays from one hit point.
 
         Every bounce fires 1 + shadow_samples rays per light from the SAME
@@ -209,9 +225,16 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
             qz = sx * e1y - sy * e1x
             e2q = e2x * qx + e2y * qy + e2z * qz
             tri_pre.append((sx, sy, sz, qx, qy, qz, e2q))
-        return sph_pre, tri_pre
+        pl_pre = []
+        for j in range(npl):
+            num = ((pln[j, 0] - ox) * pln[j, 3]
+                   + (pln[j, 1] - oy) * pln[j, 4]
+                   + (pln[j, 2] - oz) * pln[j, 5])
+            pl_pre.append(num)
+        return sph_pre, tri_pre, pl_pre
 
-    def any_hit_pre(sph_pre, tri_pre, tri, dx, dy, dz, t_max):
+    def any_hit_pre(sph_pre, tri_pre, pl_pre, pln, tri, dx, dy, dz,
+                    t_max):
         """Occlusion in (t_min, t_max) from precomputed origin terms."""
         blocked = jnp.zeros(dx.shape, bool)
         a = dx * dx + dy * dy + dz * dz
@@ -239,6 +262,11 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
             tj = f * e2q
             blocked |= (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                         & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
+        for j, num in enumerate(pl_pre):
+            denom = (dx * pln[j, 3] + dy * pln[j, 4] + dz * pln[j, 5])
+            para = denom == 0.0
+            tj = num / jnp.where(para, 1.0, denom)
+            blocked |= (~para) & (tj >= t_min) & (tj <= t_max)
         return blocked
 
     def any_hit(sph, tri, ox, oy, oz, dx, dy, dz, t_max):
@@ -279,12 +307,14 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
                         & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
         return blocked
 
-    def kernel(sph_ref, tri_ref, lit_ref, mat_ref, pix_ref, samp_ref,
+    def kernel(sph_ref, tri_ref, pln_ref, lit_ref, mat_ref, pix_ref,
+               samp_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref, al_ref,
                rx_ref, ry_ref, rz_ref, *state_refs):
         sph = sph_ref
         tri = tri_ref
+        pln = pln_ref
         lit = lit_ref
         mtab = mat_ref
         pix = pix_ref[:]
@@ -301,7 +331,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
              tpx, tpy, tpz, rdx, rdy, rdz, alive_f) = c
             alive = alive_f > 0.0
 
-            t, onx, ony, onz, mid = closest_hit(sph, tri,
+            t, onx, ony, onz, mid = closest_hit(sph, tri, pln,
                                                 ox, oy, oz, dx, dy, dz)
             hit = t < BIG
             alive2 = alive & hit
@@ -321,7 +351,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
                 ny = jnp.where(alive2, ony * sgn, 0.0)
                 nz = jnp.where(alive2, onz * sgn, 0.0)
 
-                sph_pre, tri_pre = occl_precompute(sph, tri, px, py, pz)
+                sph_pre, tri_pre, pl_pre = occl_precompute(sph, tri, pln,
+                                                           px, py, pz)
 
                 # -- material row gather: masked select over the table ---------
                 kind = jnp.zeros(px.shape)
@@ -382,7 +413,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
                     ldx, ldy, ldz = _norm3(tlx, tly, tlz)
                     live = dist >= 1e-3  # renderer.go:252-254
 
-                    hard = any_hit_pre(sph_pre, tri_pre, tri, ldx, ldy, ldz, dist)
+                    hard = any_hit_pre(sph_pre, tri_pre, pl_pre, pln, tri,
+                                       ldx, ldy, ldz, dist)
                     cos_t = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
                     if soft:
                         # The 16-sample loop is ~70% of a bounce; sf only
@@ -404,7 +436,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, cfg,
                                 sdx, sdy, sdz = _norm3(ldx + 0.1 * bx,
                                                        ldy + 0.1 * by,
                                                        ldz + 0.1 * bz)
-                                b = any_hit_pre(sph_pre, tri_pre, tri,
+                                b = any_hit_pre(sph_pre, tri_pre,
+                                                pl_pre, pln, tri,
                                                 sdx, sdy, sdz, dist)
                                 unblocked += jnp.where(b, 0.0, 1.0)
                             return unblocked * np.float32(
@@ -702,13 +735,14 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
 
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
+    npl = scene.geometry.pl_point.shape[0]
     seed = cfg.seed
     t_min = np.float32(1e-3)
     inv_w = np.float32(1.0 / width)
     inv_h = np.float32(1.0 / height)
 
-    def kernel(sph_ref, tri_ref, cam_ref, pix_ref, samp_ref, px_ref,
-               py_ref, out_ref):
+    def kernel(sph_ref, tri_ref, pln_ref, cam_ref, pix_ref, samp_ref,
+               px_ref, py_ref, out_ref):
         pix = pix_ref[:]
         samp = samp_ref[:]
         ju, jv, _, _ = _uniform4(pix, samp, rng.Streams.CAMERA_JITTER,
@@ -762,6 +796,14 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
             blocked |= (good & (uu >= -eps) & (uu <= 1.0 + eps)
                         & (vv >= -eps) & (uu + vv <= 1.0 + eps)
                         & (tj >= t_min - eps))
+        for j in range(npl):
+            denom = (dx * pln_ref[j, 3] + dy * pln_ref[j, 4]
+                     + dz * pln_ref[j, 5])
+            para = jnp.abs(denom) <= 0.0
+            tj = ((pln_ref[j, 0] - ox) * pln_ref[j, 3]
+                  + (pln_ref[j, 1] - oy) * pln_ref[j, 4]
+                  + (pln_ref[j, 2] - oz) * pln_ref[j, 5])                 / jnp.where(para, 1.0, denom)
+            blocked |= (~para) & (tj >= t_min - eps)
         out_ref[:] = jnp.where(blocked, 1.0, 0.0)
 
     B = pix_id.shape[0]
@@ -770,10 +812,10 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
     pad = n_blocks * blk - B
     prep = lambda x: jnp.pad(x, (0, pad)).reshape(-1, LANE)
 
-    sph, tri, lit, mat = pack_tables(scene)
+    sph, tri, pln, lit, mat = pack_tables(scene)
     pad1 = lambda a: a if a.shape[0] else jnp.zeros((1,) + a.shape[1:],
                                                     a.dtype)
-    sph, tri = pad1(sph), pad1(tri)
+    sph, tri, pln = pad1(sph), pad1(tri), pad1(pln)
     cam = _affine_camera(scene, go_camera)
 
     rows = n_blocks * block_rows
@@ -783,12 +825,12 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[table_spec() for _ in range(3)]
+        in_specs=[table_spec() for _ in range(4)]
         + [lane_spec() for _ in range(4)],
         out_specs=lane_spec(),
         out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
         interpret=interpret,
-    )(sph, tri, cam, prep(pix_id.astype(jnp.uint32)),
+    )(sph, tri, pln, cam, prep(pix_id.astype(jnp.uint32)),
       prep(samp_id.astype(jnp.uint32)),
       prep(px.astype(jnp.float32)), prep(py.astype(jnp.float32)))
     return out.reshape(-1)[:B]
@@ -808,6 +850,9 @@ def pack_tables(scene):
         g.tri_v0.astype(f32), e1.astype(f32), e2.astype(f32),
         g.tri_normal.astype(f32),
         g.tri_mat[:, None].astype(f32)], axis=1)  # (Nt,13)
+    pln = jnp.concatenate([
+        g.pl_point.astype(f32), g.pl_normal.astype(f32),
+        g.pl_mat[:, None].astype(f32)], axis=1)  # (Np,7)
     lit = jnp.concatenate([
         l.position.astype(f32), l.color.astype(f32),
         l.intensity[:, None].astype(f32)], axis=1)  # (L,7)
@@ -816,7 +861,7 @@ def pack_tables(scene):
         m.roughness[:, None].astype(f32), m.metallic[:, None].astype(f32),
         m.specular[:, None].astype(f32), m.ior[:, None].astype(f32),
         m.emit.astype(f32), m.eff_albedo.astype(f32)], axis=1)  # (M,14)
-    return sph, tri, lit, mat
+    return sph, tri, pln, lit, mat
 
 
 def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
@@ -839,6 +884,7 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
 
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
+    npl = scene.geometry.pl_point.shape[0]
     nl = scene.lights.position.shape[0]
     nm = scene.materials.kind.shape[0]
 
@@ -871,14 +917,16 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
              + [tp[:, i].reshape(-1, LANE) for i in range(3)]
              + [al.reshape(-1, LANE)])
 
-    sph, tri, lit, mat = pack_tables(scene)
+    sph, tri, pln, lit, mat = pack_tables(scene)
     # Mosaic rejects 0-row operands; pad empty tables to one (never-read)
     # row - the primitive loops are unrolled over the *static* counts.
     pad1 = lambda a: a if a.shape[0] else jnp.zeros((1,) + a.shape[1:],
                                                     a.dtype)
-    sph, tri, lit, mat = pad1(sph), pad1(tri), pad1(lit), pad1(mat)
+    sph, tri, pln, lit, mat = (pad1(sph), pad1(tri), pad1(pln), pad1(lit),
+                               pad1(mat))
 
-    kernel = _make_kernel(ns, nt, nl, nm, cfg, start_bounce=start_bounce,
+    kernel = _make_kernel(ns, nt, nl, nm, npl, cfg,
+                          start_bounce=start_bounce,
                           end_bounce=end_bounce, return_state=return_state)
 
     rows = n_blocks * block_rows
@@ -890,13 +938,13 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[table_spec() for _ in range(4)]
+        in_specs=[table_spec() for _ in range(5)]
         + [lane_spec() for _ in range(12)],
         out_specs=[lane_spec() for _ in range(n_out)],
         out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                    for _ in range(n_out)],
         interpret=interpret,
-    )(sph, tri, lit, mat, pix, samp, *comps)
+    )(sph, tri, pln, lit, mat, pix, samp, *comps)
 
     rad = jnp.stack([c.reshape(-1) for c in out[:3]], axis=-1)[:B]
     if not return_state:

@@ -55,6 +55,14 @@ class Geometry:
                             # share one normal across vertices, triangle.go:13-20,
                             # so barycentric interpolation is the identity)
     tri_mat: jax.Array      # (Nt,) int32
+    # Infinite planes (geometry/plane.go:7-71 - live code the Go JSON
+    # loader could never reach; reachable here via {"type": "plane"}).
+    pl_point: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    pl_normal: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    pl_mat: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.int32))
 
 
 @jax.tree_util.register_dataclass
@@ -174,6 +182,7 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     mat_rows = []
     sph_c, sph_r, sph_m = [], [], []
     tri_v0, tri_v1, tri_v2, tri_n, tri_m = [], [], [], [], []
+    pl_p, pl_n, pl_m = [], [], []
     sph_count = 0
     mesh_count = 0
 
@@ -208,6 +217,17 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
             mid = add_material(obj.get("material"))
             add_tris(_prism_triangles(obj.get("vertices", [])), mid)
             mesh_count += 1
+        elif otype == "plane" and not go_parity:
+            # geometry/plane.go:7-11: infinite plane (point, normal). The
+            # Go loader cannot produce one (scene.go:69-83); gated like
+            # the prism so --go-parity reproduces the skip.
+            mid = add_material(obj.get("material"))
+            pl_p.append(_vec3(obj.get("position")))
+            n = np.asarray(_vec3(obj.get("normal"), (0, 1, 0)), np.float64)
+            ln = np.linalg.norm(n)
+            pl_n.append((n / ln if ln > 0 else n).tolist())
+            pl_m.append(mid)
+            mesh_count += 1
         else:
             # Unknown type: skipped, same as scene.go:80-83.
             continue
@@ -220,7 +240,7 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     def arr(x, shape, dt=dtype):
         return jnp.asarray(np.array(x, np.float64).reshape(shape), dt)
 
-    ns, nt, nl = len(sph_c), len(tri_v0), len(l_pos)
+    ns, nt, nl, npl = len(sph_c), len(tri_v0), len(l_pos), len(pl_p)
     geometry = Geometry(
         sph_center=arr(sph_c, (ns, 3)),
         sph_radius=arr(sph_r, (ns,)),
@@ -230,6 +250,9 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
         tri_v2=arr(tri_v2, (nt, 3)),
         tri_normal=arr(tri_n, (nt, 3)),
         tri_mat=jnp.asarray(np.array(tri_m, np.int32).reshape(nt), jnp.int32),
+        pl_point=arr(pl_p, (npl, 3)),
+        pl_normal=arr(pl_n, (npl, 3)),
+        pl_mat=jnp.asarray(np.array(pl_m, np.int32).reshape(npl), jnp.int32),
     )
     lights = Lights(
         position=arr(l_pos, (nl, 3)),
