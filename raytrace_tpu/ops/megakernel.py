@@ -49,9 +49,15 @@ BIG = np.float32(3.0e38)
 DEFAULT_BLOCK_ROWS = 16
 LANE = 128
 
-# The kernel unrolls primitive/material loops over compile-time scene
-# sizes; past this many "intersection sites" the unrolled code (and
-# Mosaic compile time) grows unreasonably and the jnp path wins anyway.
+# Primitive loops are fully unrolled up to this count; a fori_loop
+# variant with dynamic SMEM row reads exists past it (validated against
+# the oracle) but was MEASURED to compile ~1.8x SLOWER in Mosaic than the
+# unrolled form on the 40-triangle prism scene (786s vs 443s) with no
+# runtime win, so it is disabled by default - set it below
+# MAX_KERNEL_PRIMS to experiment.
+UNROLL_PRIM_LIMIT = 96
+# Above this the kernel's unrolled code size stops being sensible;
+# bigger scenes take the jnp path (batched lanes x primitives + BVH).
 MAX_KERNEL_PRIMS = 96
 
 
@@ -307,6 +313,147 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
         return blocked
 
+    # -- fori-loop variants: same math, dynamic SMEM row reads -------------
+    # Unrolled loops give Mosaic the best pipelining but compile time and
+    # code size scale with the scene; past UNROLL_PRIM_LIMIT primitives the
+    # kernels below iterate with lax.fori_loop instead (carry vectors are
+    # f32 - i1 vector carries fail to legalize).
+    loop_mode = (ns + nt + npl) > UNROLL_PRIM_LIMIT
+
+    def closest_hit_loop(sph, tri, pln, ox, oy, oz, dx, dy, dz):
+        shape = ox.shape
+        zeros = jnp.zeros(shape)
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+
+        def sph_body(j, carry):
+            t_best, nx, ny, nz, mat = carry
+            cx, cy, cz, r, m = (sph[j, 0], sph[j, 1], sph[j, 2],
+                                sph[j, 3], sph[j, 4])
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = half_b * half_b - a * c
+            ok = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            in0 = ok & (r0 >= t_min) & (r0 <= t_best)
+            in1 = ok & (r1 >= t_min) & (r1 <= t_best)
+            tj = jnp.where(in0, r0, jnp.where(in1, r1, BIG))
+            win = tj < t_best
+            inv_r = 1.0 / r
+            return (jnp.where(win, tj, t_best),
+                    jnp.where(win, (ox + dx * tj - cx) * inv_r, nx),
+                    jnp.where(win, (oy + dy * tj - cy) * inv_r, ny),
+                    jnp.where(win, (oz + dz * tj - cz) * inv_r, nz),
+                    jnp.where(win, m, mat))
+
+        def tri_body(j, carry):
+            t_best, nx, ny, nz, mat = carry
+            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
+            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            good = jnp.abs(det) >= 1e-6
+            f = 1.0 / jnp.where(good, det, 1.0)
+            sx, sy, sz = ox - tri[j, 0], oy - tri[j, 1], oz - tri[j, 2]
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            tj = f * (e2x * qx + e2y * qy + e2z * qz)
+            win = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                   & (u + v <= 1.0) & (tj >= t_min) & (tj < t_best))
+            return (jnp.where(win, tj, t_best),
+                    jnp.where(win, tri[j, 9], nx),
+                    jnp.where(win, tri[j, 10], ny),
+                    jnp.where(win, tri[j, 11], nz),
+                    jnp.where(win, tri[j, 12], mat))
+
+        def pln_body(j, carry):
+            t_best, nx, ny, nz, mat = carry
+            pnx, pny, pnz = pln[j, 3], pln[j, 4], pln[j, 5]
+            denom = dx * pnx + dy * pny + dz * pnz
+            para = denom == 0.0
+            tj = ((pln[j, 0] - ox) * pnx + (pln[j, 1] - oy) * pny
+                  + (pln[j, 2] - oz) * pnz) / jnp.where(para, 1.0, denom)
+            win = (~para) & (tj >= t_min) & (tj < t_best)
+            return (jnp.where(win, tj, t_best),
+                    jnp.where(win, pnx, nx),
+                    jnp.where(win, pny, ny),
+                    jnp.where(win, pnz, nz),
+                    jnp.where(win, pln[j, 6], mat))
+
+        carry = (jnp.full(shape, BIG), zeros, zeros, zeros, zeros)
+        if ns:
+            carry = jax.lax.fori_loop(0, ns, sph_body, carry)
+        if nt:
+            carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+        if npl:
+            carry = jax.lax.fori_loop(0, npl, pln_body, carry)
+        return carry
+
+    def any_hit_loop(sph, tri, pln, ox, oy, oz, dx, dy, dz, t_max):
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+
+        def sph_body(j, blocked_f):
+            cx, cy, cz, r = sph[j, 0], sph[j, 1], sph[j, 2], sph[j, 3]
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = half_b * half_b - a * c
+            ok = disc >= 0.0
+            sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+            r0 = (-half_b - sq) * inv_a
+            r1 = (-half_b + sq) * inv_a
+            hit = ok & (((r0 >= t_min) & (r0 <= t_max))
+                        | ((r1 >= t_min) & (r1 <= t_max)))
+            return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
+
+        def tri_body(j, blocked_f):
+            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
+            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            det = e1x * hx + e1y * hy + e1z * hz
+            good = jnp.abs(det) >= 1e-6
+            f = 1.0 / jnp.where(good, det, 1.0)
+            sx, sy, sz = ox - tri[j, 0], oy - tri[j, 1], oz - tri[j, 2]
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            tj = f * (e2x * qx + e2y * qy + e2z * qz)
+            hit = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                   & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
+            return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
+
+        def pln_body(j, blocked_f):
+            denom = dx * pln[j, 3] + dy * pln[j, 4] + dz * pln[j, 5]
+            para = denom == 0.0
+            tj = ((pln[j, 0] - ox) * pln[j, 3]
+                  + (pln[j, 1] - oy) * pln[j, 4]
+                  + (pln[j, 2] - oz) * pln[j, 5]) \
+                / jnp.where(para, 1.0, denom)
+            hit = (~para) & (tj >= t_min) & (tj <= t_max)
+            return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
+
+        blocked_f = jnp.zeros(ox.shape)
+        if ns:
+            blocked_f = jax.lax.fori_loop(0, ns, sph_body, blocked_f)
+        if nt:
+            blocked_f = jax.lax.fori_loop(0, nt, tri_body, blocked_f)
+        if npl:
+            blocked_f = jax.lax.fori_loop(0, npl, pln_body, blocked_f)
+        return blocked_f > 0.0
+
     def kernel(sph_ref, tri_ref, pln_ref, lit_ref, mat_ref, pix_ref,
                samp_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -320,6 +467,28 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         pix = pix_ref[:]
         samp = samp_ref[:]
 
+        if loop_mode:
+            def closest_fn(ox, oy, oz, dx, dy, dz):
+                return closest_hit_loop(sph, tri, pln, ox, oy, oz,
+                                        dx, dy, dz)
+
+            def occl_pre_fn(px_, py_, pz_):
+                return (px_, py_, pz_)
+
+            def occl_test_fn(pre, ddx, ddy, ddz, tmax):
+                return any_hit_loop(sph, tri, pln, pre[0], pre[1], pre[2],
+                                    ddx, ddy, ddz, tmax)
+        else:
+            def closest_fn(ox, oy, oz, dx, dy, dz):
+                return closest_hit(sph, tri, pln, ox, oy, oz, dx, dy, dz)
+
+            def occl_pre_fn(px_, py_, pz_):
+                return occl_precompute(sph, tri, pln, px_, py_, pz_)
+
+            def occl_test_fn(pre, ddx, ddy, ddz, tmax):
+                return any_hit_pre(pre[0], pre[1], pre[2], pln, tri,
+                                   ddx, ddy, ddz, tmax)
+
         def cond(c):
             bounce, alive_f = c[0], c[13]
             # alive carried as f32 0/1: Mosaic cannot legalize i1 vectors
@@ -331,8 +500,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
              tpx, tpy, tpz, rdx, rdy, rdz, alive_f) = c
             alive = alive_f > 0.0
 
-            t, onx, ony, onz, mid = closest_hit(sph, tri, pln,
-                                                ox, oy, oz, dx, dy, dz)
+            t, onx, ony, onz, mid = closest_fn(ox, oy, oz, dx, dy, dz)
             hit = t < BIG
             alive2 = alive & hit
 
@@ -351,8 +519,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 ny = jnp.where(alive2, ony * sgn, 0.0)
                 nz = jnp.where(alive2, onz * sgn, 0.0)
 
-                sph_pre, tri_pre, pl_pre = occl_precompute(sph, tri, pln,
-                                                           px, py, pz)
+                occl_pre = occl_pre_fn(px, py, pz)
 
                 # -- material row gather: masked select over the table ---------
                 kind = jnp.zeros(px.shape)
@@ -369,23 +536,27 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 ef_r = jnp.zeros(px.shape)
                 ef_g = jnp.zeros(px.shape)
                 ef_b = jnp.zeros(px.shape)
-                for m in range(nm):
-                    sel = mid == np.float32(m)
-                    w = lambda v, old: jnp.where(sel, v, old)
-                    kind = w(mtab[m, 0], kind)
-                    alb_r = w(mtab[m, 1], alb_r)
-                    alb_g = w(mtab[m, 2], alb_g)
-                    alb_b = w(mtab[m, 3], alb_b)
-                    rough = w(mtab[m, 4], rough)
-                    metal = w(mtab[m, 5], metal)
-                    spec = w(mtab[m, 6], spec)
-                    ior = w(mtab[m, 7], ior)
-                    em_r = w(mtab[m, 8], em_r)
-                    em_g = w(mtab[m, 9], em_g)
-                    em_b = w(mtab[m, 10], em_b)
-                    ef_r = w(mtab[m, 11], ef_r)
-                    ef_g = w(mtab[m, 12], ef_g)
-                    ef_b = w(mtab[m, 13], ef_b)
+                mat_carry = (kind, alb_r, alb_g, alb_b, rough, metal,
+                             spec, ior, em_r, em_g, em_b, ef_r, ef_g,
+                             ef_b)
+
+                def _mat_row(m, carry):
+                    mf = jnp.asarray(m, jnp.int32).astype(jnp.float32)
+                    sel = mid == mf
+                    return tuple(
+                        jnp.where(sel, mtab[m, k], old_v)
+                        for k, old_v in enumerate(carry))
+
+                if loop_mode:
+                    mat_carry = jax.lax.fori_loop(
+                        0, nm,
+                        lambda m, c: _mat_row(m, c),
+                        mat_carry)
+                else:
+                    for m in range(nm):
+                        mat_carry = _mat_row(m, mat_carry)
+                (kind, alb_r, alb_g, alb_b, rough, metal, spec, ior,
+                 em_r, em_g, em_b, ef_r, ef_g, ef_b) = mat_carry
 
                 # -- direct lighting (renderer.go:229-297) ---------------------
                 amb = jnp.where(metal > 0.9, 0.05,
@@ -413,8 +584,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     ldx, ldy, ldz = _norm3(tlx, tly, tlz)
                     live = dist >= 1e-3  # renderer.go:252-254
 
-                    hard = any_hit_pre(sph_pre, tri_pre, pl_pre, pln, tri,
-                                       ldx, ldy, ldz, dist)
+                    hard = occl_test_fn(occl_pre, ldx, ldy, ldz, dist)
                     cos_t = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
                     if soft:
                         # The 16-sample loop is ~70% of a bounce; sf only
@@ -436,9 +606,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                 sdx, sdy, sdz = _norm3(ldx + 0.1 * bx,
                                                        ldy + 0.1 * by,
                                                        ldz + 0.1 * bz)
-                                b = any_hit_pre(sph_pre, tri_pre,
-                                                pl_pre, pln, tri,
-                                                sdx, sdy, sdz, dist)
+                                b = occl_test_fn(occl_pre,
+                                                 sdx, sdy, sdz, dist)
                                 unblocked += jnp.where(b, 0.0, 1.0)
                             return unblocked * np.float32(
                                 1.0 / shadow_samples)
@@ -736,6 +905,7 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
     npl = scene.geometry.pl_point.shape[0]
+    loop_mode = (ns + nt + npl) > UNROLL_PRIM_LIMIT
     seed = cfg.seed
     t_min = np.float32(1e-3)
     inv_w = np.float32(1.0 / width)
@@ -761,9 +931,70 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
         # wrongly includes just traces to black, but one wrongly excluded
         # would lose radiance.
         eps = np.float32(1e-4)
-        blocked = jnp.zeros(u.shape, bool)
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
+        if loop_mode:
+            def sph_body(j, bf):
+                ocx = ox - sph_ref[j, 0]
+                ocy = oy - sph_ref[j, 1]
+                ocz = oz - sph_ref[j, 2]
+                r = sph_ref[j, 3]
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = half_b * half_b - a * c
+                ok = disc >= -eps
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r0 = (-half_b - sq) * inv_a
+                r1 = (-half_b + sq) * inv_a
+                hit = ok & ((r0 >= t_min - eps) | (r1 >= t_min - eps))
+                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+            def tri_body(j, bf):
+                e1x, e1y, e1z = (tri_ref[j, 3], tri_ref[j, 4],
+                                 tri_ref[j, 5])
+                e2x, e2y, e2z = (tri_ref[j, 6], tri_ref[j, 7],
+                                 tri_ref[j, 8])
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                det = e1x * hx + e1y * hy + e1z * hz
+                good = jnp.abs(det) >= 1e-7
+                f = 1.0 / jnp.where(good, det, 1.0)
+                sx = ox - tri_ref[j, 0]
+                sy = oy - tri_ref[j, 1]
+                sz = oz - tri_ref[j, 2]
+                uu = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = f * (dx * qx + dy * qy + dz * qz)
+                tj = f * (e2x * qx + e2y * qy + e2z * qz)
+                hit = (good & (uu >= -eps) & (uu <= 1.0 + eps)
+                       & (vv >= -eps) & (uu + vv <= 1.0 + eps)
+                       & (tj >= t_min - eps))
+                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+            def pln_body(j, bf):
+                denom = (dx * pln_ref[j, 3] + dy * pln_ref[j, 4]
+                         + dz * pln_ref[j, 5])
+                para = denom == 0.0
+                tj = ((pln_ref[j, 0] - ox) * pln_ref[j, 3]
+                      + (pln_ref[j, 1] - oy) * pln_ref[j, 4]
+                      + (pln_ref[j, 2] - oz) * pln_ref[j, 5]) \
+                    / jnp.where(para, 1.0, denom)
+                hit = (~para) & (tj >= t_min - eps)
+                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+            bf = jnp.zeros(u.shape)
+            if ns:
+                bf = jax.lax.fori_loop(0, ns, sph_body, bf)
+            if nt:
+                bf = jax.lax.fori_loop(0, nt, tri_body, bf)
+            if npl:
+                bf = jax.lax.fori_loop(0, npl, pln_body, bf)
+            out_ref[:] = bf
+            return
+        blocked = jnp.zeros(u.shape, bool)
         for j in range(ns):
             cx, cy, cz, r = (sph_ref[j, 0], sph_ref[j, 1], sph_ref[j, 2],
                              sph_ref[j, 3])

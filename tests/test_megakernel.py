@@ -196,3 +196,40 @@ def test_plane_primitive_matches_jnp():
         {"type": "plane", "position": [0, 0, 0]}], "lights": []},
         go_parity=True)
     assert s2.geometry.pl_point.shape[0] == 0
+
+
+@SLOW
+def test_loop_mode_kernel_matches_oracle():
+    """fori-loop primitive traversal (UNROLL_PRIM_LIMIT exceeded) matches
+    the jnp oracle on a 28-primitive mixed scene."""
+    import math
+    objs = []
+    for i in range(26):
+        a = 2 * math.pi * i / 26
+        objs.append({"type": "sphere",
+                     "position": [3 * math.cos(a), 0.2 * (i % 5),
+                                  3 * math.sin(a)], "radius": 0.4,
+                     "material": {"type": ["lambertian", "metal",
+                                           "glass"][i % 3],
+                                  "color": [0.7, 0.5, 0.4],
+                                  "roughness": 0.2}})
+    objs.append({"type": "plane", "position": [0, -1, 0],
+                 "normal": [0, 1, 0],
+                 "material": {"type": "lambertian",
+                              "color": [0.5, 0.5, 0.5]}})
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 1, 8], "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [5, 5, 5],
+                    "color": [1, 1, 1], "intensity": 1.0}]})
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=1)
+    o, d, pix, samp = _lanes(s, 12, 8, 1, cfg)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg))
+    orig = mk.UNROLL_PRIM_LIMIT
+    mk.UNROLL_PRIM_LIMIT = 8  # force loop mode
+    try:
+        out = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                         interpret=True))
+    finally:
+        mk.UNROLL_PRIM_LIMIT = orig
+    np.testing.assert_allclose(out, ref, atol=1e-4)
