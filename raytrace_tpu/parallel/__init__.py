@@ -14,7 +14,7 @@ from .checkpoint import (Accumulator, ContextShutdown, GracefulShutdown,
                          ResourceManager, SignalHandler,
                          render_with_checkpoints)
 from .distributed import (DistributedRenderer, NodeStatus, heartbeat,
-                          initialize)
+                          initialize, rerender_missing_rows)
 
 __all__ = [
     "make_mesh", "single_device_mesh",
@@ -23,4 +23,5 @@ __all__ = [
     "Accumulator", "GracefulShutdown", "render_with_checkpoints",
     "ResourceManager", "ContextShutdown", "SignalHandler",
     "DistributedRenderer", "NodeStatus", "heartbeat", "initialize",
+    "rerender_missing_rows",
 ]

@@ -227,3 +227,17 @@ def test_sharded_wavefront_overflow_detected():
         scene, width=16, height=16, samples=1, cfg=cfg,
         mesh=parallel.make_mesh(px=8, sp=1), px_capacity=1)
     assert int(ov) > 0
+
+
+def test_elastic_rerender_missing_rows(small_scene):
+    """A 'failed worker' loses rows; re-rendering just those rows on a
+    survivor reproduces the full image exactly (counter-RNG determinism)."""
+    r = rt.Renderer()
+    r.samples, r.max_depth = 4, 5
+    full = r.render_linear(small_scene, 16, 12)
+
+    damaged = full.copy()
+    damaged[3:7] = -1.0  # rows 3..6 lost
+    fixed = parallel.rerender_missing_rows(
+        r, small_scene, damaged, [3, 4, 5, 6], 16, 12)
+    np.testing.assert_array_equal(fixed, full)
