@@ -13,6 +13,27 @@ Quick start:
     img = rt.Renderer().render(scene, 800, 600)
 """
 
+import os as _os
+
+# Persistent compilation cache: megakernel compiles cost minutes on TPU
+# (one-time per scene shape); the cache makes fresh-process cold starts
+# ~6s instead of ~190s. Repo-local by default; RT_CACHE_DIR overrides,
+# RT_NO_CACHE=1 disables.
+if not _os.environ.get("RT_NO_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "RT_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           0.5)
+    except Exception:
+        pass  # older jax without these options
+
 from .scene import load as load_scene, from_dict as scene_from_dict, Scene
 from .renderer import Renderer, render_band
 from .trace import TraceConfig, trace as trace_rays

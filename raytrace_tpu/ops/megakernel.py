@@ -275,44 +275,6 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             blocked |= (~para) & (tj >= t_min) & (tj <= t_max)
         return blocked
 
-    def any_hit(sph, tri, ox, oy, oz, dx, dy, dz, t_max):
-        """Occlusion in (t_min, t_max) (renderer.go:303-309 semantics)."""
-        blocked = jnp.zeros(ox.shape, bool)
-        a = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a
-        for j in range(ns):
-            cx, cy, cz, r = sph[j, 0], sph[j, 1], sph[j, 2], sph[j, 3]
-            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-            half_b = ocx * dx + ocy * dy + ocz * dz
-            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            disc = half_b * half_b - a * c
-            ok = disc >= 0.0
-            sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
-            r0 = (-half_b - sq) * inv_a
-            r1 = (-half_b + sq) * inv_a
-            blocked |= ok & (((r0 >= t_min) & (r0 <= t_max))
-                             | ((r1 >= t_min) & (r1 <= t_max)))
-        for j in range(nt):
-            v0x, v0y, v0z = tri[j, 0], tri[j, 1], tri[j, 2]
-            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
-            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            good = jnp.abs(det) >= 1e-6
-            f = 1.0 / jnp.where(good, det, 1.0)
-            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            tj = f * (e2x * qx + e2y * qy + e2z * qz)
-            blocked |= (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                        & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
-        return blocked
-
     # -- fori-loop variants: same math, dynamic SMEM row reads -------------
     # Unrolled loops give Mosaic the best pipelining but compile time and
     # code size scale with the scene; past UNROLL_PRIM_LIMIT primitives the
