@@ -1,0 +1,109 @@
+"""Multi-scene TPU benchmark sweep -> BENCHMARKS.md.
+
+Sustained-throughput methodology (see bench.py): frames stay on device,
+pipelined batches, one checksum sync per batch.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+import raytrace_tpu as rt
+from raytrace_tpu import renderer as renderer_mod
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (scene file, W, H, spp, Go-baseline rays/s or None)
+# Go-baseline rows use the reference's exact demo JSON when the reference
+# checkout is present (the bundled equivalents add a ground object the
+# reference scene lacks, which changes the workload).
+REF_ASSETS = "/root/reference/demo-assets"
+WORKLOADS = [
+    ("sphere_reflections_light.json", 800, 600, 100, 19_786_768,
+     os.path.join(REF_ASSETS, "sphere_reflections_light.json")),
+    ("final_silver_prism_purple_cube.json", 1200, 900, 100, 1_871_282,
+     os.path.join(REF_ASSETS, "final_silver_prism_purple_cube_.json")),
+    ("two_red_cubes_scene.json", 800, 600, 100, None, None),
+    ("atmosphere_demo.json", 800, 600, 100, None, None),
+]
+
+
+def measure(scene, W, H, spp, batch=16, reps=3):
+    r = rt.Renderer()
+    r.set_samples(spp)
+    r.set_max_depth(50)
+    cfg = r.trace_config()
+    t0 = time.perf_counter()
+    img = r.render_linear(scene, W, H)  # compile + validate capacity
+    compile_s = time.perf_counter() - t0
+    assert float(np.asarray(img).max()) >= 0.0
+    kw = dict(width=W, height=H, samples=spp, cfg=cfg, go_camera=True)
+    frame = lambda: renderer_mod.render_wavefront(
+        scene, as_numpy=False, assume_capacity=True, **kw)
+    float(jnp.sum(frame()))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [frame() for _ in range(batch)]
+        float(jnp.sum(outs[-1]))
+        best = min(best, (time.perf_counter() - t0) / batch)
+    return best, compile_s
+
+
+def main():
+    rows = []
+    for name, W, H, spp, go, ref_path in WORKLOADS:
+        path = (ref_path if ref_path and os.path.exists(ref_path)
+                else os.path.join(ROOT, "assets", name))
+        with open(path) as f:
+            d = json.load(f)
+        if d["camera"]["position"][2] < 0:
+            d["camera"]["position"][2] *= -1
+        scene, _ = rt.scene_from_dict(d)
+        best, compile_s = measure(scene, W, H, spp)
+        rps = W * H * spp / best
+        vs = f"{rps / go:,.1f}x" if go else "—"
+        label = name + (" (ref)" if path != os.path.join(
+            ROOT, "assets", name) else "")
+        rows.append((label, f"{W}x{H}", spp, f"{best * 1000:.1f}",
+                     f"{rps:,.0f}", vs, f"{compile_s:.0f}"))
+        print(rows[-1], flush=True)
+
+    import jax
+    dev = jax.devices()[0]
+    lines = [
+        "# BENCHMARKS — measured on one TPU chip",
+        "",
+        f"Device: `{dev.device_kind}`; sustained fixed-scene throughput "
+        "(device-resident frames, pipelined batch, one sync; see bench.py "
+        "for methodology and why host transfer is excluded on the "
+        "tunneled dev TPU). Go baselines: README.md of the reference "
+        "(6 CPU workers). depth=50, 16-ray soft shadows throughout.",
+        "",
+        "| Scene | Res | spp | ms/frame | rays/s | vs Go | first-compile s* |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for row in rows:
+        lines.append("| " + " | ".join(str(x) for x in row) + " |")
+    lines += [
+        "",
+        "*One-time per scene shape; served from the committed `.jax_cache` "
+        "afterwards (~6 s warm start).",
+        "",
+        f"Generated {time.strftime('%Y-%m-%d %H:%M:%S%z')} by "
+        "`examples/run_benchmarks.py`.",
+    ]
+    with open(os.path.join(ROOT, "BENCHMARKS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCHMARKS.md")
+
+
+if __name__ == "__main__":
+    main()

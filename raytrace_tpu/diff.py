@@ -42,7 +42,8 @@ from .scene import Scene, Camera, Geometry, Lights
 
 # Differentiable leaves of the Scene pytree, by (sub-pytree, field).
 DIFF_FIELDS = {
-    "geometry": ("sph_center", "sph_radius", "tri_v0", "tri_v1", "tri_v2"),
+    "geometry": ("sph_center", "sph_radius", "tri_v0", "tri_v1", "tri_v2",
+                 "pl_point", "pl_normal"),
     "materials": ("albedo", "roughness", "metallic", "specular", "ior",
                   "emit", "eff_albedo"),
     "lights": ("position", "color", "intensity"),
@@ -71,7 +72,12 @@ def split_params(scene: Scene):
         n = jnp.cross(e1, e2)
         ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
         normal = jnp.where(ln > 0, n / jnp.where(ln > 0, ln, 1.0), n)
-        geom = dataclasses.replace(geom, tri_normal=normal)
+        # Plane normals stay unit under optimization (plane.go normalizes
+        # at construction).
+        pn = geom.pl_normal
+        pln = jnp.linalg.norm(pn, axis=-1, keepdims=True)
+        pn = jnp.where(pln > 0, pn / jnp.where(pln > 0, pln, 1.0), pn)
+        geom = dataclasses.replace(geom, tri_normal=normal, pl_normal=pn)
         return dataclasses.replace(
             scene,
             geometry=geom,

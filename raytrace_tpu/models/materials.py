@@ -31,6 +31,15 @@ PERFECT_MIRROR = 3
 GLASS = 4
 DIELECTRIC = 5
 DIFFUSE_LIGHT = 6
+# Extended kinds: the scatter/emit behaviors advanced_materials.go defines
+# but the Go loader can never construct (SURVEY.md §2.1 "unused-by-loader").
+# Reachable here from scene JSON (outside --go-parity); scenes using them
+# take the jnp engine (the megakernel stays lean for the live-seven).
+SUBSURFACE = 7       # advanced_materials.go:212-244
+ANISOTROPIC = 8      # :246-278
+CLEARCOAT = 9        # :280-330 (over a lambertian base; see scatter())
+SHEEN = 10           # :332-368
+EMISSION = 11        # :370-414 (point/directional/area modes)
 
 KIND_NAMES = {
     "lambertian": LAMBERTIAN,
@@ -41,6 +50,17 @@ KIND_NAMES = {
     "dielectric": DIELECTRIC,
     "diffuselight": DIFFUSE_LIGHT,
 }
+
+EXTENDED_KIND_NAMES = {
+    **KIND_NAMES,
+    "subsurface": SUBSURFACE,
+    "anisotropic": ANISOTROPIC,
+    "clearcoat": CLEARCOAT,
+    "sheen": SHEEN,
+    "emission": EMISSION,
+}
+
+EMISSION_POINT, EMISSION_DIRECTIONAL, EMISSION_AREA = 0.0, 1.0, 2.0
 
 
 @jax.tree_util.register_dataclass
@@ -56,11 +76,26 @@ class MaterialTable:
     ior: jax.Array         # (M,) refraction index
     emit: jax.Array        # (M,3) Emitted()
     eff_albedo: jax.Array  # (M,3) effective GetAlbedo() (dielectric -> 1s, light -> 0s)
+    # Extended-kind parameters (zeros for the live seven):
+    aux_vec: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    # (M,3): SSS absorption / anisotropy direction / sheen color
+    aux_a: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.float32))
+    # (M,): SSS radius / anisotropy / clearcoat strength / sheen rough /
+    #       emission mode
+    aux_b: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.float32))
+    # (M,): SSS phase / clearcoat roughness / sheen tint / emission falloff
+    # Static: True when any extended kind is present (forces jnp engine and
+    # enables the extra scatter branches).
+    has_advanced: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
 
     def row(self, idx):
         """Gather one logical material per lane: dict of per-lane params."""
         take = lambda a: jnp.take(a, idx, axis=0)
-        return {
+        out = {
             "kind": take(self.kind),
             "albedo": take(self.albedo),
             "roughness": take(self.roughness),
@@ -69,7 +104,13 @@ class MaterialTable:
             "ior": take(self.ior),
             "emit": take(self.emit),
             "eff_albedo": take(self.eff_albedo),
+            "has_advanced": self.has_advanced,
         }
+        if self.has_advanced:
+            out["aux_vec"] = take(self.aux_vec)
+            out["aux_a"] = take(self.aux_a)
+            out["aux_b"] = take(self.aux_b)
+        return out
 
 
 def _get(mdata: Dict[str, Any], key: str, default: float) -> float:
@@ -87,15 +128,24 @@ def _color(mdata: Dict[str, Any], default=(1.0, 1.0, 1.0)):
     return [float(c[0]), float(c[1]), float(c[2])]
 
 
-def material_row(mdata: Dict[str, Any]) -> Dict[str, Any]:
-    """One table row from a scene-JSON material dict (scene.go:104-148)."""
+def material_row(mdata: Dict[str, Any],
+                 extended: bool = True) -> Dict[str, Any]:
+    """One table row from a scene-JSON material dict (scene.go:104-148).
+
+    extended=False reproduces the Go loader exactly (the extended kinds
+    fall back to lambertian like any unknown type, scene.go:144-147).
+    """
     mtype = str(mdata.get("type", "lambertian")).lower()
-    kind = KIND_NAMES.get(mtype, LAMBERTIAN)  # unknown type -> lambertian (scene.go:144-147)
+    names = EXTENDED_KIND_NAMES if extended else KIND_NAMES
+    kind = names.get(mtype, LAMBERTIAN)  # unknown -> lambertian (scene.go:144-147)
 
     albedo = _color(mdata)
     rough = min(_get(mdata, "roughness", 0.0), 1.0)
     emit = [0.0, 0.0, 0.0]
     ior = 1.5
+    aux_vec = [0.0, 0.0, 0.0]
+    aux_a = 0.0
+    aux_b = 0.0
 
     if kind == LAMBERTIAN:
         rough, metallic, specular = 1.0, 0.0, 0.0
@@ -125,14 +175,55 @@ def material_row(mdata: Dict[str, Any]) -> Dict[str, Any]:
         ior = _get(mdata, "refractionIndex", 1.5)
         eff_albedo = [1.0, 1.0, 1.0]
         albedo = [1.0, 1.0, 1.0]
-    else:  # DIFFUSE_LIGHT
+    elif kind == DIFFUSE_LIGHT:
         metallic, specular = 0.0, 0.0
         rough = 1.0  # material.go:308-310
         emit = albedo  # DiffuseLight emits its color (scene.go:141-142)
         eff_albedo = [0.0, 0.0, 0.0]
+    elif kind == SUBSURFACE:
+        # advanced_materials.go:40-54: BaseColor, ScatteringRadius,
+        # PhaseFunction, Absorption
+        metallic, specular = 0.0, 0.0
+        eff_albedo = albedo
+        aux_vec = list(mdata.get("absorption", (1.0, 1.0, 1.0)))
+        aux_a = _get(mdata, "scatteringRadius", 1.0)
+        aux_b = _get(mdata, "phaseFunction", 1.0)
+    elif kind == ANISOTROPIC:
+        # :74-88: BaseColor, Roughness, Anisotropy, Direction
+        metallic, specular = 0.0, 0.0
+        eff_albedo = albedo
+        aux_vec = list(mdata.get("direction", (1.0, 0.0, 0.0)))
+        aux_a = _get(mdata, "anisotropy", 0.0)
+    elif kind == CLEARCOAT:
+        # :108-122 over a lambertian base (the Go loader cannot express
+        # arbitrary-base composition either); strength/roughness/IOR
+        metallic, specular = 0.0, 0.0
+        eff_albedo = albedo
+        ior = _get(mdata, "clearcoatIOR", 1.5)
+        aux_a = _get(mdata, "strength", 0.5)
+        aux_b = _get(mdata, "clearcoatRoughness", 0.1)
+    elif kind == SHEEN:
+        # :332-345: BaseColor, SheenColor, SheenRoughness, SheenTint
+        metallic, specular = 0.0, 0.0
+        eff_albedo = albedo
+        aux_vec = list(mdata.get("sheenColor", (1.0, 1.0, 1.0)))
+        aux_a = _get(mdata, "sheenRoughness", 0.3)
+        aux_b = _get(mdata, "sheenTint", 0.5)
+    else:  # EMISSION
+        # :370-392: Color, Intensity, EmissionType, Falloff
+        metallic, specular = 0.0, 0.0
+        intensity = _get(mdata, "intensity", 1.0)
+        emit = [c * intensity for c in albedo]
+        eff_albedo = [0.0, 0.0, 0.0]
+        mode = str(mdata.get("emissionType", "point")).lower()
+        aux_a = {"point": EMISSION_POINT,
+                 "directional": EMISSION_DIRECTIONAL,
+                 "area": EMISSION_AREA}.get(mode, EMISSION_POINT)
+        aux_b = _get(mdata, "falloff", 0.0)
 
     return dict(kind=kind, albedo=albedo, roughness=rough, metallic=metallic,
-                specular=specular, ior=ior, emit=emit, eff_albedo=eff_albedo)
+                specular=specular, ior=ior, emit=emit, eff_albedo=eff_albedo,
+                aux_vec=aux_vec, aux_a=aux_a, aux_b=aux_b)
 
 
 def build_table(rows, dtype=jnp.float32) -> MaterialTable:
@@ -140,8 +231,9 @@ def build_table(rows, dtype=jnp.float32) -> MaterialTable:
     if not rows:
         rows = [material_row({"type": "lambertian", "color": [0, 0, 0]})]
     f = lambda k: jnp.asarray(np.array([r[k] for r in rows]), dtype)
+    kinds = [r["kind"] for r in rows]
     return MaterialTable(
-        kind=jnp.asarray(np.array([r["kind"] for r in rows]), jnp.int32),
+        kind=jnp.asarray(np.array(kinds), jnp.int32),
         albedo=f("albedo"),
         roughness=f("roughness"),
         metallic=f("metallic"),
@@ -149,6 +241,10 @@ def build_table(rows, dtype=jnp.float32) -> MaterialTable:
         ior=f("ior"),
         emit=f("emit"),
         eff_albedo=f("eff_albedo"),
+        aux_vec=f("aux_vec"),
+        aux_a=f("aux_a"),
+        aux_b=f("aux_b"),
+        has_advanced=any(k > DIFFUSE_LIGHT for k in kinds),
     )
 
 
@@ -280,4 +376,44 @@ def scatter(mat, ray_dir, normal, front_face, ball, pick_u):
               jnp.where(k == SHINY, shiny_att,
               jnp.where(k == PERFECT_MIRROR, pm_att, glass_att))))
     did_scatter = kind != DIFFUSE_LIGHT  # DiffuseLight.Scatter -> false (material.go:296-298)
+
+    # --- extended kinds (advanced_materials.go, unreachable in Go) ---------
+    # Branches only traced when the scene's table carries an extended kind
+    # (has_advanced is static), so live-seven scenes pay nothing.
+    if mat.get("has_advanced"):
+        av = mat["aux_vec"]              # (B,3)
+        aa = mat["aux_a"][..., None]     # (B,1)
+        ab = mat["aux_b"][..., None]     # (B,1)
+
+        # Subsurface (:56-67): dir = ball * phase; att = base * (abs * r).
+        sss_dir = ball * ab
+        sss_att = albedo * (av * aa)
+
+        # Anisotropic (:90-101): roughness modulated by direction . normal.
+        arough = rough * (1.0 + aa * _dot(av, normal))
+        ani_pert = _normalize(reflected + ball * arough)
+        ani_dir = jnp.where(arough > 0.0, ani_pert, reflected)
+
+        # Clearcoat (:124-157) over a lambertian base: base dir + Schlick
+        # blend of attenuations (clearcoat layer's own ray is discarded,
+        # :127). `fresnel` above already uses |raw_dir . n| and this row's
+        # IOR - exactly the clearcoat coat term (:150-154).
+        cc_att = albedo * (1.0 - aa) + fresnel * aa
+
+        # Sheen (:347-364): tinted sheen color on a perturbed reflection.
+        sheen_col = av * (1.0 - ab) + albedo * ab
+        sh_pert = _normalize(reflected + ball * aa)
+        sheen_dir = jnp.where(aa > 0.0, sh_pert, reflected)
+
+        out_dir = jnp.where(k == SUBSURFACE, sss_dir,
+                  jnp.where(k == ANISOTROPIC, ani_dir,
+                  jnp.where(k == CLEARCOAT, lam_dir,
+                  jnp.where(k == SHEEN, sheen_dir, out_dir))))
+        out_att = jnp.where(k == SUBSURFACE, sss_att,
+                  jnp.where(k == ANISOTROPIC, albedo,
+                  jnp.where(k == CLEARCOAT, cc_att,
+                  jnp.where(k == SHEEN, sheen_col, out_att))))
+        # Emission never scatters (it defines only Emit/Emitted).
+        did_scatter = did_scatter & (kind != EMISSION)
+
     return out_dir, out_att, did_scatter

@@ -65,6 +65,10 @@ def scene_fits_kernel(scene) -> bool:
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
     npl = scene.geometry.pl_point.shape[0]
+    if getattr(scene.materials, "has_advanced", False):
+        # Extended material kinds live only in the jnp engine; the kernel
+        # stays lean for the reference's seven live kinds.
+        return False
     return (ns + nt + npl) <= MAX_KERNEL_PRIMS
 
 

@@ -187,7 +187,11 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     mesh_count = 0
 
     def add_material(mdata) -> int:
-        mat_rows.append(mat_mod.material_row(mdata or {"type": "lambertian"}))
+        # go_parity: extended kinds (subsurface/anisotropic/clearcoat/
+        # sheen/emission) degrade to lambertian, exactly the Go loader's
+        # unknown-type fallback (scene.go:144-147).
+        mat_rows.append(mat_mod.material_row(
+            mdata or {"type": "lambertian"}, extended=not go_parity))
         return len(mat_rows) - 1
 
     def add_tris(tris, mid):

@@ -83,6 +83,16 @@ def _bounce_body(scene, pix_id, samp_id, cfg: TraceConfig, bounce, st: _State):
 
     mat = mats.row(hit.mat_id)
     emitted = mat["emit"]
+    if mats.has_advanced:
+        # Emission modes (advanced_materials.go:394-414): the directional
+        # mode modulates by normal . (0,1,0). (The Go renderer itself only
+        # ever calls the mode-less Emitted(); honoring Emit(hit)'s modes is
+        # part of making the unreachable feature real.)
+        is_dir_emit = ((mat["kind"] == mat_mod.EMISSION)
+                       & (mat["aux_a"] == mat_mod.EMISSION_DIRECTIONAL))
+        cos_up = jnp.maximum(normal[..., 1], 0.0)
+        emitted = jnp.where(is_dir_emit[..., None],
+                            emitted * cos_up[..., None], emitted)
 
     direct = shade.direct_lighting(
         geom, lights, mat, point, normal, pix_id, samp_id, bounce,

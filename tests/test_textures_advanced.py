@@ -1,0 +1,177 @@
+"""Procedural textures + extended material kinds."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import raytrace_tpu as rt
+from raytrace_tpu.models import materials as mat_mod
+from raytrace_tpu.models import textures as tx
+
+
+# --- textures: known-answer tests against the Go formulas -------------------
+
+def test_marble_formula():
+    t = tx.MarbleTexture(base_color=(1, 0, 0), vein_color=(0, 0, 1),
+                         scale=2.0, sharpness=3.0)
+    p = np.array([0.3, 0.7, -0.2])
+    v = math.sin(p[0] * 2.0 + p[1] * 2.0 * 0.5 + p[2] * 2.0 * 0.25)
+    v = ((v + 1.0) / 2.0) ** 3.0
+    expect = np.array([1, 0, 0]) * (1 - v) + np.array([0, 0, 1]) * v
+    got = np.asarray(t.value(jnp.asarray(p, jnp.float32)))
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_wood_ring_threshold():
+    t = tx.WoodTexture(base_color=(1, 1, 1), ring_color=(0, 0, 0),
+                       scale=1.0, ring_width=0.3)
+    # sin(0) = 0 < 0.3 -> ring color
+    np.testing.assert_allclose(
+        np.asarray(t.value(jnp.zeros(3))), [0, 0, 0], atol=1e-6)
+    # sin(pi/2) = 1 >= 0.3 -> base color
+    np.testing.assert_allclose(
+        np.asarray(t.value(jnp.asarray([math.pi / 2, 0, 0]))),
+        [1, 1, 1], atol=1e-6)
+
+
+def test_checkerboard_parity():
+    t = tx.CheckerboardTexture(color1=(1, 0, 0), color2=(0, 1, 0),
+                               scale=1.0)
+    np.testing.assert_allclose(
+        np.asarray(t.value(jnp.asarray([0.5, 0.5, 0.5]))), [1, 0, 0])
+    np.testing.assert_allclose(
+        np.asarray(t.value(jnp.asarray([1.5, 0.5, 0.5]))), [0, 1, 0])
+
+
+def test_gradient_endpoints():
+    t = tx.GradientTexture(color1=(0, 0, 0), color2=(1, 1, 1),
+                           direction=(0, 1, 0))
+    lo = np.asarray(t.value(jnp.asarray([0.0, -1.0, 0.0])))
+    hi = np.asarray(t.value(jnp.asarray([0.0, 1.0, 0.0])))
+    np.testing.assert_allclose(lo, 0.0, atol=1e-6)
+    np.testing.assert_allclose(hi, 1.0, atol=1e-6)
+
+
+def test_noise_is_smooth_not_white():
+    """The Go stub returned white noise; real value noise is continuous."""
+    t = tx.NoiseTexture(scale=1.0, octaves=3)
+    x = jnp.linspace(0, 4, 401)
+    p = jnp.stack([x, x * 0.0, x * 0.0], axis=-1)
+    v = np.asarray(t.value(p))
+    # neighboring samples differ by far less than the field's range
+    assert np.abs(np.diff(v)).max() < 0.3 * (v.max() - v.min() + 1e-9)
+
+
+def test_voronoi_stable_cells_and_metrics():
+    p = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (32, 3)),
+                    jnp.float32)
+    for dt in (tx.EUCLIDEAN, tx.MANHATTAN, tx.CHEBYSHEV):
+        t = tx.VoronoiTexture(points=8, distance_type=dt)
+        a = np.asarray(t.value(p))
+        b = np.asarray(t.value(p))
+        np.testing.assert_array_equal(a, b)  # stable (Go's wasn't)
+        assert (a >= 0).all()
+    # chebyshev <= euclidean <= manhattan pointwise
+    e = np.asarray(tx.VoronoiTexture(points=8).value(p))
+    m = np.asarray(tx.VoronoiTexture(
+        points=8, distance_type=tx.MANHATTAN).value(p))
+    c = np.asarray(tx.VoronoiTexture(
+        points=8, distance_type=tx.CHEBYSHEV).value(p))
+    assert (c <= e + 1e-6).all() and (e <= m + 1e-6).all()
+
+
+def test_textured_albedo_shapes():
+    p = jnp.zeros((8, 3))
+    color = tx.textured_albedo(tx.MarbleTexture(), p)
+    assert color.shape == (8, 3)
+    scalar = tx.textured_albedo(tx.NoiseTexture(), p,
+                                base_albedo=(1.0, 0.5, 0.25))
+    assert scalar.shape == (8, 3)
+
+
+# --- extended material kinds ------------------------------------------------
+
+@pytest.fixture(scope="module")
+def adv_scene():
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 6], "aspectRatio": 1.0},
+        "objects": [
+            {"type": "sphere", "position": [-2, 0, 0], "radius": 0.8,
+             "material": {"type": "subsurface", "color": [0.9, 0.5, 0.4],
+                          "absorption": [0.8, 0.6, 0.5],
+                          "scatteringRadius": 0.5,
+                          "phaseFunction": 0.7}},
+            {"type": "sphere", "position": [0, 0, 0], "radius": 0.8,
+             "material": {"type": "clearcoat", "color": [0.2, 0.4, 0.8],
+                          "strength": 0.4}},
+            {"type": "sphere", "position": [2, 0, 0], "radius": 0.8,
+             "material": {"type": "sheen", "color": [0.6, 0.2, 0.2],
+                          "sheenColor": [1, 1, 0.9],
+                          "sheenRoughness": 0.3, "sheenTint": 0.4}},
+            {"type": "sphere", "position": [0, 2, 0], "radius": 0.5,
+             "material": {"type": "anisotropic", "color": [0.7, 0.7, 0.2],
+                          "roughness": 0.3, "anisotropy": 0.5,
+                          "direction": [1, 0, 0]}},
+            {"type": "sphere", "position": [0, -2, 0], "radius": 0.5,
+             "material": {"type": "emission", "color": [1, 0.8, 0.6],
+                          "intensity": 2.0,
+                          "emissionType": "directional"}},
+        ],
+        "lights": [{"type": "point", "position": [5, 5, 5],
+                    "color": [1, 1, 1], "intensity": 1.0}],
+    })
+    return s
+
+
+def test_extended_kinds_render(adv_scene):
+    assert adv_scene.materials.has_advanced
+    r = rt.Renderer()
+    r.samples, r.max_depth = 2, 4
+    img = r.render_linear(adv_scene, 32, 24)
+    assert np.isfinite(img).all() and img.mean() > 0
+    # Emission sphere contributes: bottom region brighter than if removed
+    kinds = np.asarray(adv_scene.materials.kind)
+    assert set(kinds.tolist()) >= {mat_mod.SUBSURFACE, mat_mod.CLEARCOAT,
+                                   mat_mod.SHEEN, mat_mod.ANISOTROPIC,
+                                   mat_mod.EMISSION}
+
+
+def test_extended_kinds_force_jnp_engine(adv_scene):
+    from raytrace_tpu.ops import megakernel
+    assert not megakernel.scene_fits_kernel(adv_scene)
+
+
+def test_go_parity_degrades_to_lambertian(adv_scene):
+    s2, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 6], "aspectRatio": 1.0},
+        "objects": [
+            {"type": "sphere", "position": [0, 0, 0], "radius": 0.8,
+             "material": {"type": "sheen", "color": [0.6, 0.2, 0.2]}},
+        ],
+        "lights": []}, go_parity=True)
+    assert not s2.materials.has_advanced
+    assert int(s2.materials.kind[0]) == mat_mod.LAMBERTIAN
+
+
+def test_emission_directional_modulation():
+    """Directional emission scales by normal . (0,1,0): the top of the
+    emissive sphere is brighter than its sides."""
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 4], "aspectRatio": 1.0},
+        "objects": [
+            {"type": "sphere", "position": [0, 0, 0], "radius": 1.0,
+             "material": {"type": "emission", "color": [1, 1, 1],
+                          "intensity": 1.0,
+                          "emissionType": "directional"}}],
+        "lights": []})
+    r = rt.Renderer()
+    r.samples, r.max_depth = 1, 2
+    img = r.render_linear(s, 33, 33)
+    # Go camera: v grows upward with row index, so the sphere's scene-top
+    # (normal toward +y, max emission) lands in the HIGH rows of its
+    # ~rows-12..20 footprint at this framing.
+    top_band = img[18:21, 14:19].mean()
+    bottom_band = img[13:16, 14:19].mean()
+    assert top_band > 2.0 * bottom_band
