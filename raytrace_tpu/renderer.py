@@ -296,7 +296,16 @@ def _render_fused(scene, *, k_pad: int, width: int, height: int,
 
 
 # Speculative capacity cache for the fused path: config -> last k_pad.
+# Bounded FIFO: the key includes cfg (and thus the seed), so progressive/
+# checkpointed rendering would otherwise grow it without limit.
 _KPAD_CACHE: dict = {}
+_KPAD_CACHE_MAX = 64
+
+
+def _kpad_cache_put(key, value):
+    if key not in _KPAD_CACHE and len(_KPAD_CACHE) >= _KPAD_CACHE_MAX:
+        _KPAD_CACHE.pop(next(iter(_KPAD_CACHE)))
+    _KPAD_CACHE[key] = value
 
 
 def _pad_bucket(k: int, quantum: int) -> int:
@@ -340,7 +349,7 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         k_px = int(k_dev)  # scalar sync; the image stays on device
         want = min(_pad_bucket(max(k_px, 1), quantum), width * height)
         if k_px <= k_pad and k_pad <= max(2 * want, quantum):
-            _KPAD_CACHE[cache_key] = want if k_px > 0 else k_pad
+            _kpad_cache_put(cache_key, want if k_px > 0 else k_pad)
             return np.asarray(img) if as_numpy else img
         # capacity stale (scene changed): fall through and redo.
 
@@ -353,7 +362,7 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         return z if as_numpy else jnp.asarray(z)
 
     k_pad = min(_pad_bucket(k_px, quantum), width * height)
-    _KPAD_CACHE[cache_key] = k_pad
+    _kpad_cache_put(cache_key, k_pad)
     img, _ = _compact_and_trace(
         scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad, width=width,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
