@@ -30,10 +30,6 @@ shadow sampling renderer.go:299-331, tMin=1e-3 everywhere).
 
 from __future__ import annotations
 
-import dataclasses
-import math
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
