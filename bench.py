@@ -17,6 +17,14 @@ import os
 import sys
 import time
 
+# Pallas program fingerprints vary with Python hash randomization, which
+# defeats the persistent compilation cache across processes (measured:
+# stable keys under PYTHONHASHSEED=0, fresh keys otherwise). Re-exec with
+# a fixed seed so warm starts actually hit the committed .jax_cache.
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 GO_BASELINE_RAYS_PER_S = 19_786_768.0
 W, H, SPP, DEPTH = 800, 600, 100, 50
 

@@ -4,6 +4,15 @@ Sustained-throughput methodology (see bench.py): frames stay on device,
 pipelined batches, one checksum sync per batch.
 """
 
+import os as _os0
+import sys as _sys0
+
+# Fixed hash seed keeps Pallas program fingerprints (and thus the
+# persistent compilation cache keys) stable across processes; see bench.py.
+if _os0.environ.get("PYTHONHASHSEED") != "0":
+    _os0.environ["PYTHONHASHSEED"] = "0"
+    _os0.execv(_sys0.executable, [_sys0.executable] + _sys0.argv)
+
 import json
 import os
 import sys

@@ -18,8 +18,16 @@ import os as _os
 # Persistent compilation cache: megakernel compiles cost minutes on TPU
 # (one-time per scene shape); the cache makes fresh-process cold starts
 # ~6s instead of ~190s. Repo-local by default; RT_CACHE_DIR overrides,
-# RT_NO_CACHE=1 disables.
-if not _os.environ.get("RT_NO_CACHE"):
+# RT_NO_CACHE=1 disables. TPU-intent processes only: XLA:CPU AOT entries
+# bake in host ISA features and can SIGILL when loaded on a different
+# machine, so CPU runs (tests, virtual meshes) skip the persistent cache.
+_cpu_intent = (
+    _os.environ.get("RT_PLATFORM", "").lower() == "cpu"
+    or "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower()
+    or "xla_force_host_platform_device_count"
+    in _os.environ.get("XLA_FLAGS", "")
+)
+if not _os.environ.get("RT_NO_CACHE") and not _cpu_intent:
     import jax as _jax
 
     _cache_dir = _os.environ.get(
