@@ -11,9 +11,13 @@ import sys as _sys0
 
 # Fixed hash seed keeps Pallas program fingerprints (and thus the
 # persistent compilation cache keys) stable across processes; see bench.py.
+# Invoked as `python -m raytrace_tpu.cli`, argv[0] is this file's path, so
+# re-exec through -m to keep package-relative imports working.
 if _os0.environ.get("PYTHONHASHSEED") != "0":
     _os0.environ["PYTHONHASHSEED"] = "0"
-    _os0.execv(_sys0.executable, [_sys0.executable] + _sys0.argv)
+    _os0.execv(_sys0.executable,
+               [_sys0.executable, "-m", "raytrace_tpu.cli"]
+               + _sys0.argv[1:])
 
 import argparse
 import os
