@@ -13,6 +13,15 @@ import argparse
 import os
 import sys
 
+# Fixed hash seed keeps Pallas program fingerprints (and thus the
+# persistent compilation cache keys) stable across processes; see bench.py.
+# Re-exec through -m so package-relative imports keep working.
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable,
+             [sys.executable, "-m", "raytrace_tpu.bench.cli"]
+             + sys.argv[1:])
+
 # Honor RT_PLATFORM before any JAX computation (the environment may
 # force-register a TPU plugin via sitecustomize; see ../cli.py).
 if os.environ.get("RT_PLATFORM"):

@@ -43,7 +43,13 @@ _BIG = np.float32(3.0e38)
 @dataclasses.dataclass(frozen=True)
 class FlatBVH:
     """DFS-ordered nodes with skip pointers; leaves index a permutation
-    of the primitive array."""
+    of the primitive array.
+
+    Primitive ids follow the scene's unified ordering: pid < n_spheres is a
+    sphere, else pid - n_spheres indexes the triangle table (matching the
+    concatenation order of intersect.closest_hit). ``leaf_size`` records
+    the build-time cap so traversal never under-tests a leaf.
+    """
 
     node_min: jax.Array    # (N,3) AABB lower corner
     node_max: jax.Array    # (N,3) AABB upper corner
@@ -51,6 +57,9 @@ class FlatBVH:
     node_first: jax.Array  # (N,) first primitive slot (leaves), else -1
     node_count: jax.Array  # (N,) primitive count (0 for inner nodes)
     prim_index: jax.Array  # (P,) permutation into the original primitives
+    # Static: max primitives per leaf (the traversal unroll bound).
+    leaf_size: int = dataclasses.field(default=4,
+                                       metadata=dict(static=True))
 
 
 def _build_nodes(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
@@ -113,7 +122,8 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray,
                        jnp.asarray([1], jnp.int32),
                        jnp.asarray([0], jnp.int32),
                        jnp.asarray([0], jnp.int32),
-                       jnp.zeros((0,), jnp.int32))
+                       jnp.zeros((0,), jnp.int32),
+                       leaf_size=leaf_size)
     from . import native
     nat = native.build_bvh_native(lo, hi, leaf_size)
     if nat is not None:
@@ -123,7 +133,8 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray,
                        node_skip=jnp.asarray(nskip),
                        node_first=jnp.asarray(nfirst),
                        node_count=jnp.asarray(ncount),
-                       prim_index=jnp.asarray(perm))
+                       prim_index=jnp.asarray(perm),
+                       leaf_size=leaf_size)
     nodes, perm = _build_nodes(lo, hi, leaf_size)
     as_np = lambda i, dt=np.float32: np.asarray([n[i] for n in nodes], dt)
     return FlatBVH(
@@ -133,6 +144,7 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray,
         node_first=jnp.asarray(np.asarray([n[2] for n in nodes], np.int32)),
         node_count=jnp.asarray(np.asarray([n[3] for n in nodes], np.int32)),
         prim_index=jnp.asarray(perm),
+        leaf_size=leaf_size,
     )
 
 
@@ -149,6 +161,25 @@ def build_triangle_bvh(v0, v1, v2, leaf_size: int = 4) -> FlatBVH:
     return build_bvh(lo, hi, leaf_size)
 
 
+def build_scene_bvh(geom, leaf_size: int = 4) -> FlatBVH:
+    """Unified BVH over a Geometry's spheres AND triangles.
+
+    Primitive ids use the same concatenated ordering as
+    intersect.closest_hit (spheres first, then triangles); infinite planes
+    cannot be bounded and stay outside the tree (tested brute-force by the
+    caller). This realizes the intent of spatial_acceleration.go:16-69
+    (BVH accelerating hitWorld) that the reference never wired up.
+    """
+    c = np.asarray(geom.sph_center, np.float32)
+    r = np.asarray(geom.sph_radius, np.float32)[:, None]
+    v0 = np.asarray(geom.tri_v0, np.float32)
+    v1 = np.asarray(geom.tri_v1, np.float32)
+    v2 = np.asarray(geom.tri_v2, np.float32)
+    lo = np.concatenate([c - r, np.minimum(np.minimum(v0, v1), v2)], axis=0)
+    hi = np.concatenate([c + r, np.maximum(np.maximum(v0, v1), v2)], axis=0)
+    return build_bvh(lo, hi, leaf_size)
+
+
 def _aabb_hit(bmin, bmax, o, inv_d, t_min, t_max):
     """Slab test, vectorized over the trailing axis-3."""
     t0 = (bmin - o) * inv_d
@@ -161,23 +192,46 @@ def _aabb_hit(bmin, bmax, o, inv_d, t_min, t_max):
 
 
 def sphere_hit_t(origin, direction, center, radius, t_min, t_best):
-    """Per-lane single-sphere hit distance (BIG when none)."""
+    """Per-lane single-sphere hit distance (BIG when none).
+
+    Bit-identical op order to intersect.sphere_t (mul by 1/a, same sqrt
+    guard) so the BVH path reproduces brute-force hits exactly."""
     oc = origin - center
     a = jnp.sum(direction * direction, axis=-1)
     half_b = jnp.sum(oc * direction, axis=-1)
     c = jnp.sum(oc * oc, axis=-1) - radius * radius
     disc = half_b * half_b - a * c
     ok = disc >= 0.0
-    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
-    r0 = (-half_b - sq) / a
-    r1 = (-half_b + sq) / a
+    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+    inv_a = 1.0 / a
+    r0 = (-half_b - sq) * inv_a
+    r1 = (-half_b + sq) * inv_a
     in0 = ok & (r0 >= t_min) & (r0 <= t_best)
     in1 = ok & (r1 >= t_min) & (r1 <= t_best)
     return jnp.where(in0, r0, jnp.where(in1, r1, _BIG))
 
 
+def tri_hit_t(origin, direction, v0, e1, e2, t_min, t_best):
+    """Per-lane single-triangle Moller-Trumbore distance (BIG when none).
+
+    v0/e1/e2 are per-lane gathers (B,3); same eps-1e-6 determinant test
+    as the batched form (triangle.go:42)."""
+    h = jnp.cross(direction, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    degen = jnp.abs(a) < 1e-6
+    f = 1.0 / jnp.where(degen, 1.0, a)
+    s = origin - v0
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(direction * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    valid = ((~degen) & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+             & (u + v <= 1.0) & (t >= t_min) & (t <= t_best))
+    return jnp.where(valid, t, _BIG)
+
+
 def closest_hit_bvh(bvh: FlatBVH, centers, radii, origin, direction,
-                    t_min=1e-3, max_leaf: int = 4):
+                    t_min=1e-3, max_leaf: Optional[int] = None):
     """Stackless closest-hit over a sphere BVH, batched over lanes.
 
     Every lane walks its own cursor: AABB hit -> descend (cursor+1),
@@ -185,6 +239,8 @@ def closest_hit_bvh(bvh: FlatBVH, centers, radii, origin, direction,
     masked selects. Loop ends when all cursors reach the end. Returns
     (t, prim_id) with t = BIG / prim_id = -1 on miss.
     """
+    if max_leaf is None:
+        max_leaf = bvh.leaf_size  # never under-test a leaf
     n_nodes = bvh.node_min.shape[0]
     B = origin.shape[:-1]
     inv_d = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)
@@ -225,6 +281,155 @@ def closest_hit_bvh(bvh: FlatBVH, centers, radii, origin, direction,
     id0 = jnp.full(B, -1, jnp.int32)
     _, t, pid = jax.lax.while_loop(cond, body, (cursor0, t0, id0))
     return t, pid
+
+
+def traverse_closest(bvh: FlatBVH, geom, origin, direction,
+                     t_min=1e-3, t_max=_BIG):
+    """Closest hit over a unified sphere+triangle scene BVH.
+
+    origin/direction: (..., 3) lanes, walked in lockstep (one int32 cursor
+    per lane; AABB hit -> cursor+1, miss -> skip pointer). Leaves test up
+    to bvh.leaf_size primitives; each slot is dispatched by pid: spheres
+    (pid < Ns, sphere.go:22-59 math) vs triangles (triangle.go:36-82).
+    Returns (t, pid) with t = BIG / pid = -1 on miss; pid uses the
+    concatenated [spheres, triangles] ordering. Infinite planes are not in
+    the tree - callers test them separately (intersect._closest_hit_accel).
+    """
+    ns = geom.sph_center.shape[0]
+    nt = geom.tri_v0.shape[0]
+    n_nodes = bvh.node_min.shape[0]
+    B = origin.shape[:-1]
+    inv_d = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)
+    if nt:
+        tri_e1 = geom.tri_v1 - geom.tri_v0
+        tri_e2 = geom.tri_v2 - geom.tri_v0
+
+    def cond(c):
+        return jnp.any(c[0] < n_nodes)
+
+    def body(c):
+        cursor, t_best, best_id = c
+        cur = jnp.minimum(cursor, n_nodes - 1)
+        bmin = jnp.take(bvh.node_min, cur, axis=0)
+        bmax = jnp.take(bvh.node_max, cur, axis=0)
+        skip = jnp.take(bvh.node_skip, cur, axis=0)
+        first = jnp.take(bvh.node_first, cur, axis=0)
+        count = jnp.take(bvh.node_count, cur, axis=0)
+        active = cursor < n_nodes
+        hit_box = active & _aabb_hit(bmin, bmax, origin, inv_d, t_min,
+                                     t_best)
+        is_leaf = count > 0
+        for j in range(bvh.leaf_size):
+            slot = jnp.minimum(first + j, bvh.prim_index.shape[0] - 1)
+            pid = jnp.take(bvh.prim_index, slot, axis=0)
+            if ns and nt:
+                is_s = pid < ns
+                sidx = jnp.minimum(pid, ns - 1)
+                tidx = jnp.clip(pid - ns, 0, nt - 1)
+                cen = jnp.take(geom.sph_center, sidx, axis=0)
+                rad = jnp.take(geom.sph_radius, sidx, axis=0)
+                t_s = sphere_hit_t(origin, direction, cen, rad, t_min,
+                                   t_best)
+                v0 = jnp.take(geom.tri_v0, tidx, axis=0)
+                e1 = jnp.take(tri_e1, tidx, axis=0)
+                e2 = jnp.take(tri_e2, tidx, axis=0)
+                t_t = tri_hit_t(origin, direction, v0, e1, e2, t_min,
+                                t_best)
+                t = jnp.where(is_s, t_s, t_t)
+            elif ns:
+                cen = jnp.take(geom.sph_center, pid, axis=0)
+                rad = jnp.take(geom.sph_radius, pid, axis=0)
+                t = sphere_hit_t(origin, direction, cen, rad, t_min,
+                                 t_best)
+            else:
+                v0 = jnp.take(geom.tri_v0, pid, axis=0)
+                e1 = jnp.take(tri_e1, pid, axis=0)
+                e2 = jnp.take(tri_e2, pid, axis=0)
+                t = tri_hit_t(origin, direction, v0, e1, e2, t_min, t_best)
+            valid = hit_box & is_leaf & (j < count) & (t < t_best)
+            t_best = jnp.where(valid, t, t_best)
+            best_id = jnp.where(valid, pid, best_id)
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(descend, cur + 1, skip)
+        cursor = jnp.where(active, nxt, cursor)
+        return cursor, t_best, best_id
+
+    cursor0 = jnp.zeros(B, jnp.int32)
+    t0 = jnp.minimum(jnp.broadcast_to(jnp.asarray(t_max, origin.dtype), B),
+                     _BIG)
+    id0 = jnp.full(B, -1, jnp.int32)
+    _, t, pid = jax.lax.while_loop(cond, body, (cursor0, t0, id0))
+    # Lanes that never beat t_max report BIG (miss), matching brute force.
+    return jnp.where(pid >= 0, t, _BIG), pid
+
+
+def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
+    """Any-hit (occlusion) over a unified scene BVH; (B,) bool.
+
+    t_max may be per-lane (B,) or scalar. A blocked lane jumps its cursor
+    to the end immediately - shadow rays from lit regions terminate in a
+    handful of node steps. Planes are not in the tree (see traverse_closest).
+    """
+    ns = geom.sph_center.shape[0]
+    nt = geom.tri_v0.shape[0]
+    n_nodes = bvh.node_min.shape[0]
+    B = origin.shape[:-1]
+    inv_d = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)
+    tm = jnp.broadcast_to(jnp.asarray(t_max, origin.dtype), B)
+    if nt:
+        tri_e1 = geom.tri_v1 - geom.tri_v0
+        tri_e2 = geom.tri_v2 - geom.tri_v0
+
+    def cond(c):
+        return jnp.any(c[0] < n_nodes)
+
+    def body(c):
+        cursor, blocked = c
+        cur = jnp.minimum(cursor, n_nodes - 1)
+        bmin = jnp.take(bvh.node_min, cur, axis=0)
+        bmax = jnp.take(bvh.node_max, cur, axis=0)
+        skip = jnp.take(bvh.node_skip, cur, axis=0)
+        first = jnp.take(bvh.node_first, cur, axis=0)
+        count = jnp.take(bvh.node_count, cur, axis=0)
+        active = cursor < n_nodes
+        hit_box = active & _aabb_hit(bmin, bmax, origin, inv_d, t_min, tm)
+        is_leaf = count > 0
+        hit_any = jnp.zeros(B, bool)
+        for j in range(bvh.leaf_size):
+            slot = jnp.minimum(first + j, bvh.prim_index.shape[0] - 1)
+            pid = jnp.take(bvh.prim_index, slot, axis=0)
+            if ns and nt:
+                is_s = pid < ns
+                sidx = jnp.minimum(pid, ns - 1)
+                tidx = jnp.clip(pid - ns, 0, nt - 1)
+                cen = jnp.take(geom.sph_center, sidx, axis=0)
+                rad = jnp.take(geom.sph_radius, sidx, axis=0)
+                t_s = sphere_hit_t(origin, direction, cen, rad, t_min, tm)
+                v0 = jnp.take(geom.tri_v0, tidx, axis=0)
+                e1 = jnp.take(tri_e1, tidx, axis=0)
+                e2 = jnp.take(tri_e2, tidx, axis=0)
+                t_t = tri_hit_t(origin, direction, v0, e1, e2, t_min, tm)
+                t = jnp.where(is_s, t_s, t_t)
+            elif ns:
+                cen = jnp.take(geom.sph_center, pid, axis=0)
+                rad = jnp.take(geom.sph_radius, pid, axis=0)
+                t = sphere_hit_t(origin, direction, cen, rad, t_min, tm)
+            else:
+                v0 = jnp.take(geom.tri_v0, pid, axis=0)
+                e1 = jnp.take(tri_e1, pid, axis=0)
+                e2 = jnp.take(tri_e2, pid, axis=0)
+                t = tri_hit_t(origin, direction, v0, e1, e2, t_min, tm)
+            hit_any |= hit_box & is_leaf & (j < count) & (t < _BIG)
+        blocked = blocked | hit_any
+        descend = hit_box & ~is_leaf
+        nxt = jnp.where(blocked, n_nodes, jnp.where(descend, cur + 1, skip))
+        cursor = jnp.where(active, nxt, cursor)
+        return cursor, blocked
+
+    cursor0 = jnp.zeros(B, jnp.int32)
+    blocked0 = jnp.zeros(B, bool)
+    _, blocked = jax.lax.while_loop(cond, body, (cursor0, blocked0))
+    return blocked
 
 
 # ---------------------------------------------------------------------------

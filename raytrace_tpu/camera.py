@@ -39,6 +39,34 @@ def go_rays(camera, u, v):
     return o, direction
 
 
+def thin_lens_perturb(camera, origin, direction, pix_id, samp_id, seed,
+                      lens_radius=0.1, focus_distance=10.0):
+    """Thin-lens depth-of-field ray perturbation (advanced.go:29-44).
+
+    Parity quirks preserved from applyDepthOfField:
+      * the offset basis is ``Up * rd.x + normalize(LookAt x Up) * rd.y``
+        - LookAt is the look-at POINT, not a view direction (:38);
+      * the output direction IS normalized (:41), unlike primary rays;
+      * defaults lensRadius=0.1, focusDistance=10.0 (:34-35).
+    The disk sample is counter-based (rng.unit_disk) instead of the
+    reference's global-RNG rejection loop.
+    """
+    from . import rng
+    rd = rng.unit_disk(pix_id, samp_id, rng.Streams.DOF_DISK, seed)
+    rd = rd * lens_radius
+    up = camera.up
+    cr = jnp.cross(camera.look_at, up)  # LookAt x Up, parity bug kept
+    n = jnp.linalg.norm(cr)
+    cr = jnp.where(n > 0, cr / jnp.where(n > 0, n, 1.0), cr)
+    offset = rd[..., 0:1] * up[None, :] + rd[..., 1:2] * cr[None, :]
+    new_origin = origin + offset
+    new_dir = direction * focus_distance - offset
+    nd = jnp.linalg.norm(new_dir, axis=-1, keepdims=True)
+    new_dir = jnp.where(nd > 0, new_dir / jnp.where(nd > 0, nd, 1.0),
+                        new_dir)
+    return new_origin, new_dir
+
+
 def lookat_rays(camera, u, v):
     """Conventional right-handed look-at pinhole camera using fov/lookAt/up."""
     pos = camera.position

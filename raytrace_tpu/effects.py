@@ -212,6 +212,55 @@ def lens_flare(img, light_screen_xy, intensity: float = 0.3,
 
 
 # ---------------------------------------------------------------------------
+# Per-hit renderer helpers (internal/renderer/advanced.go, vectorized)
+# ---------------------------------------------------------------------------
+
+def caustic_approximation(point, normal, lights):
+    """calculateCaustics (advanced.go:80-90): per light, add
+    light.Color * max(0, normal . dir_to_light). point/normal: (B,3);
+    lights: scene Lights pytree. Returns (B,3)."""
+    point = jnp.asarray(point, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+    out = jnp.zeros(point.shape, jnp.float32)
+    for li in range(lights.position.shape[0]):
+        to_l = lights.position[li] - point
+        n = jnp.linalg.norm(to_l, axis=-1, keepdims=True)
+        ldir = jnp.where(n > 0, to_l / jnp.where(n > 0, n, 1.0), 0.0)
+        inten = jnp.maximum(0.0, jnp.sum(normal * ldir, axis=-1))
+        out = out + lights.color[li] * inten[..., None]
+    return out
+
+
+def bump_map_normal(point, normal, bump_scale: float = 0.1):
+    """calculateBumpMapping (advanced.go:114-126): sine/cosine bump from
+    world-space x/y, added to the normal and renormalized. The quirky
+    u=x*10 then sin(u*10) double-scale is preserved. (B,3) -> (B,3)."""
+    point = jnp.asarray(point, jnp.float32)
+    normal = jnp.asarray(normal, jnp.float32)
+    u = point[..., 0] * 10.0
+    v = point[..., 1] * 10.0
+    bump_u = jnp.sin(u * 10.0) * bump_scale
+    bump_v = jnp.cos(v * 10.0) * bump_scale
+    n = normal + jnp.stack([bump_u, bump_v, jnp.zeros_like(bump_u)],
+                           axis=-1)
+    ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return jnp.where(ln > 0, n / jnp.where(ln > 0, ln, 1.0), 0.0)
+
+
+def procedural_texture_color(point):
+    """calculateProceduralTexture (advanced.go:128-142): sin/cos
+    interference color from world-space x/y. (B,3) -> (B,3)."""
+    point = jnp.asarray(point, jnp.float32)
+    u = point[..., 0] * 10.0
+    v = point[..., 1] * 10.0
+    noise = jnp.sin(u * 20.0) * jnp.cos(v * 20.0)
+    pattern = jnp.sin(u * 50.0) * jnp.sin(v * 50.0)
+    return jnp.stack([(noise + 1.0) / 2.0,
+                      (pattern + 1.0) / 2.0,
+                      (noise * pattern + 1.0) / 2.0], axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Config-driven pipeline
 # ---------------------------------------------------------------------------
 

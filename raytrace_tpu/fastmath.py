@@ -63,8 +63,20 @@ class FastRandom:
 
 def xorshift64star(state):
     """Vectorized one-step xorshift64*: (new_state, output) for uint64
-    arrays. The TPU-native form: each lane carries its own state."""
-    x = state.astype(jnp.uint64)
+    arrays. The TPU-native form: each lane carries its own state.
+
+    Requires genuine uint64 input: with jax_enable_x64 off, JAX silently
+    truncates 64-bit integers to 32, which would break the Go
+    bit-compatibility claim - so wrap calls in jax.experimental.enable_x64
+    (as FastRandom.split and the KAT tests do).
+    """
+    x = jnp.asarray(state)
+    if x.dtype != jnp.uint64:
+        raise TypeError(
+            "xorshift64star needs uint64 state (got %s); enable x64 via "
+            "jax.experimental.enable_x64() - without it JAX truncates to "
+            "uint32 and the sequence diverges from Go's FastRandom"
+            % x.dtype)
     x = x ^ (x >> np.uint64(12))
     x = x ^ (x << np.uint64(25))
     x = x ^ (x >> np.uint64(27))

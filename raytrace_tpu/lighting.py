@@ -117,6 +117,31 @@ class AreaLight:
         rad = self.color * (self.intensity * att)[..., None]
         return LightSample(_norm(to_l), dist, rad)
 
+    def integrate(self, point, pix_id=None, samp_id=None, seed=0,
+                  stream_base=0, geom=None, accel=None):
+        """N-sample area-light integration (the use the reference's
+        ``Samples: 16`` field advertised but never got, lighting.go:111-126).
+
+        Averages ``self.samples`` jittered emitter samples; with ``geom``
+        each sample is also visibility-tested (a real soft shadow from an
+        area emitter). Returns a LightSample whose radiance is the
+        integrated incident radiance and whose direction/distance point at
+        the emitter center (for the caller's cosine/specular terms).
+        """
+        total = jnp.zeros(point.shape, jnp.float32)
+        for s in range(self.samples):
+            ls = self.sample(point, pix_id, samp_id, seed,
+                             stream=stream_base + s)
+            contrib = ls.radiance
+            if geom is not None:
+                blocked = intersect.any_hit(geom, point, ls.direction,
+                                            1e-3, ls.distance, accel=accel)
+                contrib = jnp.where(blocked[..., None], 0.0, contrib)
+            total = total + contrib
+        center = self.sample(point)  # deterministic center sample
+        return LightSample(center.direction, center.distance,
+                           total / float(self.samples))
+
 
 class SpotLight:
     """lighting.go:157-214: cone with smooth inner/outer cutoff."""

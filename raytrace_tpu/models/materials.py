@@ -40,6 +40,9 @@ ANISOTROPIC = 8      # :246-278
 CLEARCOAT = 9        # :280-330 (over a lambertian base; see scatter())
 SHEEN = 10           # :332-368
 EMISSION = 11        # :370-414 (point/directional/area modes)
+MIRROR = 12          # :68-109 (scatter FALSE when reflection dips below
+                     # the surface, :88 - the only kind whose did_scatter
+                     # is data-dependent)
 
 KIND_NAMES = {
     "lambertian": LAMBERTIAN,
@@ -58,6 +61,7 @@ EXTENDED_KIND_NAMES = {
     "clearcoat": CLEARCOAT,
     "sheen": SHEEN,
     "emission": EMISSION,
+    "mirror": MIRROR,
 }
 
 EMISSION_POINT, EMISSION_DIRECTIONAL, EMISSION_AREA = 0.0, 1.0, 2.0
@@ -91,6 +95,12 @@ class MaterialTable:
     # enables the extra scatter branches).
     has_advanced: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
+    # Static: ((mat_index, texture_object), ...) procedural-texture bindings
+    # (frozen texture dataclasses from models.textures, hashable). Evaluated
+    # per hit point by the jnp engine (trace._bounce_body); the texture ->
+    # albedo integration point the reference never built.
+    textures: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     def row(self, idx):
         """Gather one logical material per lane: dict of per-lane params."""
@@ -209,6 +219,11 @@ def material_row(mdata: Dict[str, Any],
         aux_vec = list(mdata.get("sheenColor", (1.0, 1.0, 1.0)))
         aux_a = _get(mdata, "sheenRoughness", 0.3)
         aux_b = _get(mdata, "sheenTint", 0.5)
+    elif kind == MIRROR:
+        # advanced_materials.go:96-108: GetMetallic/GetSpecular both 1.0;
+        # roughness capped at 1 (:76), plain color attenuation.
+        metallic, specular = 1.0, 1.0
+        eff_albedo = albedo
     else:  # EMISSION
         # :370-392: Color, Intensity, EmissionType, Falloff
         metallic, specular = 0.0, 0.0
@@ -221,9 +236,14 @@ def material_row(mdata: Dict[str, Any],
                  "area": EMISSION_AREA}.get(mode, EMISSION_POINT)
         aux_b = _get(mdata, "falloff", 0.0)
 
-    return dict(kind=kind, albedo=albedo, roughness=rough, metallic=metallic,
-                specular=specular, ior=ior, emit=emit, eff_albedo=eff_albedo,
-                aux_vec=aux_vec, aux_a=aux_a, aux_b=aux_b)
+    row = dict(kind=kind, albedo=albedo, roughness=rough, metallic=metallic,
+               specular=specular, ior=ior, emit=emit, eff_albedo=eff_albedo,
+               aux_vec=aux_vec, aux_a=aux_a, aux_b=aux_b)
+    tex = mdata.get("texture") if extended else None
+    if tex:
+        from . import textures as tex_mod
+        row["texture"] = tex_mod.texture_from_dict(tex)
+    return row
 
 
 def build_table(rows, dtype=jnp.float32) -> MaterialTable:
@@ -232,6 +252,8 @@ def build_table(rows, dtype=jnp.float32) -> MaterialTable:
         rows = [material_row({"type": "lambertian", "color": [0, 0, 0]})]
     f = lambda k: jnp.asarray(np.array([r[k] for r in rows]), dtype)
     kinds = [r["kind"] for r in rows]
+    textures = tuple((i, r["texture"]) for i, r in enumerate(rows)
+                     if r.get("texture") is not None)
     return MaterialTable(
         kind=jnp.asarray(np.array(kinds), jnp.int32),
         albedo=f("albedo"),
@@ -245,6 +267,7 @@ def build_table(rows, dtype=jnp.float32) -> MaterialTable:
         aux_a=f("aux_a"),
         aux_b=f("aux_b"),
         has_advanced=any(k > DIFFUSE_LIGHT for k in kinds),
+        textures=textures,
     )
 
 
@@ -405,15 +428,26 @@ def scatter(mat, ray_dir, normal, front_face, ball, pick_u):
         sh_pert = _normalize(reflected + ball * aa)
         sheen_dir = jnp.where(aa > 0.0, sh_pert, reflected)
 
+        # Mirror (:81-89): raw reflection + roughness*ball (NOT normalized,
+        # unlike Metal), color attenuation; scatter returns FALSE when the
+        # perturbed reflection dips below the surface (:88, strict > 0).
+        mir_dir = jnp.where(rough > 0.0, reflected + ball * rough,
+                            reflected)
+        mir_up = _dot(mir_dir, normal)[..., 0] > 0.0
+
         out_dir = jnp.where(k == SUBSURFACE, sss_dir,
                   jnp.where(k == ANISOTROPIC, ani_dir,
                   jnp.where(k == CLEARCOAT, lam_dir,
-                  jnp.where(k == SHEEN, sheen_dir, out_dir))))
+                  jnp.where(k == SHEEN, sheen_dir,
+                  jnp.where(k == MIRROR, mir_dir, out_dir)))))
         out_att = jnp.where(k == SUBSURFACE, sss_att,
                   jnp.where(k == ANISOTROPIC, albedo,
                   jnp.where(k == CLEARCOAT, cc_att,
-                  jnp.where(k == SHEEN, sheen_col, out_att))))
-        # Emission never scatters (it defines only Emit/Emitted).
+                  jnp.where(k == SHEEN, sheen_col,
+                  jnp.where(k == MIRROR, albedo, out_att)))))
+        # Emission never scatters (it defines only Emit/Emitted); Mirror
+        # only when the reflected ray stays above the surface.
         did_scatter = did_scatter & (kind != EMISSION)
+        did_scatter = did_scatter & ((kind != MIRROR) | mir_up)
 
     return out_dir, out_att, did_scatter

@@ -109,8 +109,19 @@ def plane_t(origin, direction, point, normal, t_min, t_max):
     return jnp.where(valid, t, BIG)
 
 
-def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG) -> Hit:
-    """hitWorld (renderer.go:333-346): closest hit across all primitives."""
+def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG,
+                accel=None) -> Hit:
+    """hitWorld (renderer.go:333-346): closest hit across all primitives.
+
+    With ``accel`` (a bvh.FlatBVH over the scene's spheres+triangles,
+    see scene.Scene.accel) the lanes x primitives brute-force scan is
+    replaced by a stackless BVH walk - the working form of the traversal
+    spatial_acceleration.go:45-69 was meant to give hitWorld. Results are
+    identical (same per-primitive math, closest-t winner).
+    """
+    if accel is not None:
+        return _closest_hit_accel(geom, accel, origin, direction, t_min,
+                                  t_max)
     B = origin.shape[:-1]
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
@@ -138,6 +149,19 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG) -> Hit:
     all_t = jnp.concatenate(ts, axis=-1)  # (B, Ns+Nt)
     idx = jnp.argmin(all_t, axis=-1)  # first minimum wins
     t = jnp.take_along_axis(all_t, idx[..., None], axis=-1)[..., 0]
+    return _hit_from_tidx(geom, origin, direction, t, idx)
+
+
+def _hit_from_tidx(geom, origin, direction, t, idx) -> Hit:
+    """Assemble the full Hit record from (t, winner index).
+
+    idx uses the concatenated [spheres, triangles, planes] ordering;
+    t == BIG means miss (idx is then ignored).
+    """
+    B = origin.shape[:-1]
+    ns = geom.sph_center.shape[0]
+    nt = geom.tri_v0.shape[0]
+    npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
     hit = t < BIG
 
     point = origin + direction * t[..., None]
@@ -181,13 +205,49 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG) -> Hit:
                front_face=front_face, mat_id=mat_id.astype(jnp.int32))
 
 
-def any_hit(geom, origin, direction, t_min, t_max):
+def _closest_hit_accel(geom, accel, origin, direction, t_min, t_max) -> Hit:
+    """BVH-accelerated closest hit: tree walk over spheres+triangles,
+    brute force over the (unbounded) planes, merged by nearest t."""
+    from .. import bvh as bvh_mod
+    t, pid = bvh_mod.traverse_closest(accel, geom, origin, direction,
+                                      t_min, t_max)
+    npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+    if npl:
+        ns = geom.sph_center.shape[0]
+        nt = geom.tri_v0.shape[0]
+        t_pl = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
+                       t_min, t_max)  # (B, Npl)
+        pl_idx = jnp.argmin(t_pl, axis=-1)
+        t_pl_min = jnp.take_along_axis(t_pl, pl_idx[..., None],
+                                       axis=-1)[..., 0]
+        pl_wins = t_pl_min < t
+        t = jnp.where(pl_wins, t_pl_min, t)
+        pid = jnp.where(pl_wins, ns + nt + pl_idx, pid)
+    return _hit_from_tidx(geom, origin, direction, t, pid)
+
+
+def any_hit(geom, origin, direction, t_min, t_max, accel=None):
     """Occlusion test: does any primitive intersect in (t_min, t_max)?
 
     Shadow rays only need existence (renderer.go:303-309), not the closest
     record - an any-hit reduce is cheaper than argmin+gathers.
-    t_max may be per-lane: shape (B,) or scalar.
+    t_max may be per-lane: shape (B,) or scalar. With ``accel`` the
+    sphere/triangle scan becomes an early-exit BVH walk (planes are still
+    tested brute-force - they cannot be bounded).
     """
+    if accel is not None:
+        from .. import bvh as bvh_mod
+        blocked = bvh_mod.traverse_any(accel, origin=origin,
+                                       direction=direction, geom=geom,
+                                       t_min=t_min, t_max=t_max)
+        npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+        if npl:
+            t_max = jnp.asarray(t_max)
+            tm = t_max[..., None] if t_max.ndim else t_max
+            t = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
+                        t_min, tm)
+            blocked |= jnp.any(t < BIG, axis=-1)
+        return blocked
     t_max = jnp.asarray(t_max)
     tm = t_max[..., None] if t_max.ndim else t_max
     blocked = jnp.zeros(origin.shape[:-1], bool)

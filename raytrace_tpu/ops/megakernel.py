@@ -65,6 +65,9 @@ def scene_fits_kernel(scene) -> bool:
         # Extended material kinds live only in the jnp engine; the kernel
         # stays lean for the reference's seven live kinds.
         return False
+    if getattr(scene.materials, "textures", ()):
+        # Per-hit procedural textures are evaluated by the jnp engine.
+        return False
     return (ns + nt + npl) <= MAX_KERNEL_PRIMS
 
 

@@ -73,9 +73,11 @@ def combine_weights(metallic):
 
 def shadow_factor(geom, point, light_pos, light_dist, light_dir,
                   pix_id, samp_id, bounce, light_index, *,
-                  soft_shadows=True, shadow_samples=16, seed=0):
+                  soft_shadows=True, shadow_samples=16, seed=0,
+                  accel=None):
     """calculateSmartShadow (renderer.go:299-331). Returns (B,) in [0,1]."""
-    hard_blocked = intersect.any_hit(geom, point, light_dir, 1e-3, light_dist)
+    hard_blocked = intersect.any_hit(geom, point, light_dir, 1e-3,
+                                     light_dist, accel=accel)
     if not soft_shadows:
         return jnp.where(hard_blocked, 0.0, 1.0)
 
@@ -85,7 +87,8 @@ def shadow_factor(geom, point, light_pos, light_dist, light_dir,
             bounce, rng.shadow_stream(light_index, i, shadow_samples))
         ball = rng.unit_ball(pix_id, samp_id, stream, seed)
         soft_dir = _normalize(light_dir + 0.1 * ball)
-        blocked = intersect.any_hit(geom, point, soft_dir, 1e-3, light_dist)
+        blocked = intersect.any_hit(geom, point, soft_dir, 1e-3,
+                                    light_dist, accel=accel)
         unblocked += jnp.where(blocked, 0.0, 1.0)
     soft = unblocked / float(shadow_samples)
     return jnp.where(hard_blocked, 0.0, soft)
@@ -93,7 +96,8 @@ def shadow_factor(geom, point, light_pos, light_dist, light_dir,
 
 def direct_lighting(geom, lights, mat, point, normal,
                     pix_id, samp_id, bounce, *,
-                    soft_shadows=True, shadow_samples=16, seed=0):
+                    soft_shadows=True, shadow_samples=16, seed=0,
+                    accel=None):
     """calculateDirectLighting (renderer.go:229-297). Returns (B,3)."""
     metallic = mat["metallic"]
     albedo = mat["eff_albedo"]
@@ -115,7 +119,8 @@ def direct_lighting(geom, lights, mat, point, normal,
         sf = shadow_factor(geom, point, lpos, light_dist, light_dir,
                            pix_id, samp_id, bounce, li,
                            soft_shadows=soft_shadows,
-                           shadow_samples=shadow_samples, seed=seed)
+                           shadow_samples=shadow_samples, seed=seed,
+                           accel=accel)
 
         cos_theta = jnp.maximum(0.0, _dot(normal, light_dir))
         intensity = cos_theta * lint / (light_dist * light_dist)

@@ -42,10 +42,17 @@ def initialize(coordinator_address: Optional[str] = None,
     On a real pod slice the arguments come from the scheduler environment
     and may all be None (auto-detection). Safe to call single-host: with no
     coordinator configured this is a no-op.
+
+    The no-op decision reads ONLY environment variables: jax.distributed
+    must run before any other jax.* API touches the backend, so probing
+    jax.process_count() here would poison the auto-detection path.
     """
-    if coordinator_address is None and num_processes is None and \
-            "COORDINATOR_ADDRESS" not in os.environ and \
-            jax.process_count() == 1:
+    _cluster_env = ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                    "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                    "SLURM_JOB_NUM_NODES", "OMPI_MCA_orte_hnp_uri")
+    if (coordinator_address is None and num_processes is None
+            and process_id is None
+            and not any(os.environ.get(k) for k in _cluster_env)):
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

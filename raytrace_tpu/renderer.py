@@ -88,6 +88,10 @@ def lane_radiance(scene, pix_id, samp_id, *, width: int, height: int,
 
     rays = cam_mod.go_rays if go_camera else cam_mod.lookat_rays
     origin, direction = rays(scene.camera, u, v)
+    if cfg.depth_of_field:
+        origin, direction = cam_mod.thin_lens_perturb(
+            scene.camera, origin, direction, pix_id, samp_id, cfg.seed,
+            cfg.dof_lens_radius, cfg.dof_focus_distance)
     return trace_mod.trace(scene, origin, direction, pix_id, samp_id, cfg)
 
 
@@ -138,7 +142,12 @@ def _lane_rays(scene, pix_id, samp_id, *, width: int, height: int,
     u = (x + ju) / width
     v = (y + jv) / height
     rays = cam_mod.go_rays if go_camera else cam_mod.lookat_rays
-    return rays(scene.camera, u, v)
+    origin, direction = rays(scene.camera, u, v)
+    if cfg.depth_of_field:
+        origin, direction = cam_mod.thin_lens_perturb(
+            scene.camera, origin, direction, pix_id, samp_id, cfg.seed,
+            cfg.dof_lens_radius, cfg.dof_focus_distance)
+    return origin, direction
 
 
 @partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
@@ -173,7 +182,8 @@ def _pixel_mask(scene, *, width: int, height: int, samples: int,
                                        height=height, cfg=cfg,
                                        go_camera=go_camera)
         hit = intersect.any_hit(scene.geometry, origin, direction, 1e-3,
-                                intersect.BIG)
+                                intersect.BIG,
+                                accel=getattr(scene, "accel", None))
     hit_px = jnp.any(hit.reshape(n_px, samples), axis=1)
     pos_px = jnp.cumsum(hit_px.astype(jnp.int32)) - 1
     return hit_px, pos_px, pos_px[-1] + 1
@@ -432,9 +442,19 @@ class Renderer:
             soft_shadows=self.soft_shadows,
             recursive_reflections=self.recursive_reflections,
             seed=self.seed,
+            depth_of_field=self.depth_of_field,
             russian_roulette_start=8 if self.fast_mc else None,
             throughput_epsilon=1e-4 if self.fast_mc else 0.0,
         )
+
+    def _pallas_ok(self, scene, cfg) -> bool:
+        """Whether the compacted Pallas wavefront can serve this render.
+
+        DoF rays are lens-perturbed, so the affine-camera primary-hit mask
+        kernel could wrongly exclude pixels - DoF renders take the jnp
+        engine (renderer.go's depthOfField was CPU-side anyway)."""
+        return (megakernel.scene_fits_kernel(scene)
+                and not cfg.depth_of_field)
 
     def render_linear_device(self, scene, width: int, height: int):
         """Full-image mean linear radiance as a DEVICE array (H,W,3).
@@ -447,7 +467,7 @@ class Renderer:
         cfg = self.trace_config()
         if (jax.default_backend() == "tpu"
                 and self.engine in ("auto", "pallas")
-                and megakernel.scene_fits_kernel(scene)):
+                and self._pallas_ok(scene, cfg)):
             return render_wavefront(scene, width=width, height=height,
                                     samples=self.samples, cfg=cfg,
                                     go_camera=self.go_camera,
@@ -462,7 +482,7 @@ class Renderer:
         if engine == "auto":
             engine = ("pallas" if jax.default_backend() == "tpu"
                       else "jnp")
-        if engine == "pallas" and not megakernel.scene_fits_kernel(scene):
+        if engine == "pallas" and not self._pallas_ok(scene, cfg):
             # The megakernel unrolls primitive loops over compile-time
             # scene sizes; very large scenes would explode code size and
             # compile time, so they take the jnp path (which scales as
@@ -533,7 +553,7 @@ class Renderer:
         t0 = time.perf_counter()
         if (scene_config is None and jax.default_backend() == "tpu"
                 and self.engine in ("auto", "pallas")
-                and megakernel.scene_fits_kernel(scene)):
+                and self._pallas_ok(scene, self.trace_config())):
             # Tonemap + quantize on device and pull uint8: 4x less
             # device->host traffic (matters greatly on a tunneled TPU).
             linear_dev = self.render_linear_device(scene, width, height)
@@ -567,7 +587,8 @@ class Renderer:
         ys = (jnp.arange(n_px, dtype=jnp.float32) // width + 0.5) / height
         rays = cam_mod.go_rays if self.go_camera else cam_mod.lookat_rays
         o, d = rays(scene.camera, xs, ys)
-        hit = isect.closest_hit(scene.geometry, o, d, t_min=1e-3)
+        hit = isect.closest_hit(scene.geometry, o, d, t_min=1e-3,
+                                accel=getattr(scene, "accel", None))
         # distance in world units: t * |d| (directions are unnormalized)
         dist = hit.t * jnp.linalg.norm(d, axis=-1)
         return jnp.where(hit.hit, dist, isect.BIG).reshape(height, width)

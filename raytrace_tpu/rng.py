@@ -35,6 +35,7 @@ class Streams:
     SCATTER_BALL = 1    # 3 uniforms: unit-ball sample for scatter perturbation
     DIELECTRIC = 2      # 1 uniform: reflect/refract branch (material.go:252)
     RUSSIAN_ROULETTE = 3
+    DOF_DISK = 4        # 2 uniforms: thin-lens aperture sample (advanced.go:37)
     SHADOW_BASE = 8     # 3 uniforms per soft-shadow sample (renderer.go:315-327)
 
 
@@ -139,6 +140,19 @@ def unit_ball(pix_id, samp_id, stream, seed):
     rho = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     r = cbrt01(u3)
     return jnp.stack([r * rho * cos_p, r * rho * sin_p, r * z], axis=-1)
+
+
+def unit_disk(pix_id, samp_id, stream, seed):
+    """Uniform sample inside the unit disk, shape (..., 2).
+
+    Matches the distribution of the reference's rejection sampler
+    (vector.go:141-152 RandomVec3InUnitDisk) without rejection:
+    r = sqrt(u), theta = 2*pi*v.
+    """
+    u1, u2, _, _ = uniform4(pix_id, samp_id, stream, seed)
+    r = jnp.sqrt(u1)
+    sin_t, cos_t = sincos_2pi(u2)
+    return jnp.stack([r * cos_t, r * sin_t], axis=-1)
 
 
 def shadow_stream(light_index, sample_index, shadow_samples):

@@ -82,6 +82,12 @@ class Scene:
     geometry: Geometry
     materials: mat_mod.MaterialTable
     lights: Lights
+    # Optional spatial acceleration: a bvh.FlatBVH over the scene's
+    # spheres+triangles (None for small scenes, where brute force is
+    # faster AND reverse-differentiable - the BVH walk is a while_loop,
+    # so rt/diff keeps accel off). Attached automatically by from_dict
+    # past bvh.BVH_THRESHOLD primitives; see with_accel().
+    accel: Optional[Any] = None
 
     @property
     def num_objects(self) -> int:
@@ -93,6 +99,19 @@ class Scene:
     # set via object.__setattr__ in load; defaults for constructed scenes
     sph_count: int = dataclasses.field(default=0, metadata=dict(static=True))
     mesh_count: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+def with_accel(scene: "Scene", leaf_size: int = 4) -> "Scene":
+    """Return the scene with a freshly built sphere+triangle BVH attached
+    (the working form of what spatial_acceleration.go aspired to wire into
+    hitWorld)."""
+    from . import bvh as bvh_mod
+    n = (scene.geometry.sph_center.shape[0]
+         + scene.geometry.tri_v0.shape[0])
+    if n == 0:
+        return scene
+    return dataclasses.replace(
+        scene, accel=bvh_mod.build_scene_bvh(scene.geometry, leaf_size))
 
 
 def _vec3(v, default=(0.0, 0.0, 0.0)) -> List[float]:
@@ -164,11 +183,13 @@ class SceneConfig:
 
 
 def from_dict(data: Dict[str, Any], go_parity: bool = False,
-              dtype=jnp.float32):
+              dtype=jnp.float32, build_accel: Optional[bool] = None):
     """Build (Scene, SceneConfig) from a parsed scene dict.
 
     go_parity=True reproduces the reference loader exactly, including
     silently skipping unknown object types such as triangularPrism.
+    build_accel: attach a scene BVH (None = auto: only past
+    bvh.BVH_THRESHOLD primitives; pass False for differentiable use).
     """
     cam_d = data.get("camera", {})
     camera = Camera(
@@ -266,6 +287,11 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     scene = Scene(camera=camera, geometry=geometry,
                   materials=mat_mod.build_table(mat_rows, dtype),
                   lights=lights, sph_count=sph_count, mesh_count=mesh_count)
+    if build_accel is None:
+        from . import bvh as bvh_mod
+        build_accel = (ns + nt) >= bvh_mod.BVH_THRESHOLD
+    if build_accel:
+        scene = with_accel(scene)
 
     cfg = SceneConfig(
         renderer=data.get("renderer", {}) or {},
@@ -279,8 +305,10 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     return scene, cfg
 
 
-def load(path: str, go_parity: bool = False, dtype=jnp.float32):
+def load(path: str, go_parity: bool = False, dtype=jnp.float32,
+         build_accel: Optional[bool] = None):
     """LoadFromFile equivalent (scene.go:45-57)."""
     with open(path) as f:
         data = json.load(f)
-    return from_dict(data, go_parity=go_parity, dtype=dtype)
+    return from_dict(data, go_parity=go_parity, dtype=dtype,
+                     build_accel=build_accel)

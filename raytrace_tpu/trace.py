@@ -50,6 +50,11 @@ class TraceConfig:
     shadow_samples: int = 16
     recursive_reflections: bool = True
     seed: int = 0
+    # Thin-lens DoF camera perturbation (advanced.go:29-44); applied by the
+    # ray generators in renderer.py (defaults = the Go hardcoded values).
+    depth_of_field: bool = False
+    dof_lens_radius: float = 0.1
+    dof_focus_distance: float = 10.0
     # Non-parity MC accelerators (expectation-preserving):
     russian_roulette_start: Optional[int] = None  # bounce index; None = off
     throughput_epsilon: float = 0.0               # kill lanes dimmer than this
@@ -73,8 +78,12 @@ jax.tree_util.register_dataclass(
 def _bounce_body(scene, pix_id, samp_id, cfg: TraceConfig, bounce, st: _State):
     """One shading iteration of the wavefront."""
     geom, mats, lights = scene.geometry, scene.materials, scene.lights
+    # Optional scene BVH (scene.Scene.accel): same hit results, walked
+    # instead of scanned. Built at load for scenes past bvh.BVH_THRESHOLD.
+    accel = getattr(scene, "accel", None)
 
-    hit = intersect.closest_hit(geom, st.origin, st.direction, t_min=1e-3)
+    hit = intersect.closest_hit(geom, st.origin, st.direction, t_min=1e-3,
+                                accel=accel)
     alive = st.alive & hit.hit
 
     # Keep dead-lane geometry finite so masked math cannot overflow.
@@ -94,10 +103,25 @@ def _bounce_body(scene, pix_id, samp_id, cfg: TraceConfig, bounce, st: _State):
         emitted = jnp.where(is_dir_emit[..., None],
                             emitted * cos_up[..., None], emitted)
 
+    if getattr(mats, "textures", ()):
+        # Procedural texture -> albedo at the hit point (the integration
+        # the reference's unreachable texture classes advertised,
+        # advanced_materials.go:416-631). Affects both the scatter albedo
+        # and the direct-lighting diffuse color.
+        from .models import textures as tex_mod
+        alb = mat["albedo"]
+        eff = mat["eff_albedo"]
+        for mi, tex in mats.textures:
+            sel = (hit.mat_id == mi)[..., None]
+            t_alb = tex_mod.textured_albedo(tex, point, alb)
+            alb = jnp.where(sel, t_alb, alb)
+            eff = jnp.where(sel, t_alb, eff)
+        mat = {**mat, "albedo": alb, "eff_albedo": eff}
+
     direct = shade.direct_lighting(
         geom, lights, mat, point, normal, pix_id, samp_id, bounce,
         soft_shadows=cfg.soft_shadows, shadow_samples=cfg.shadow_samples,
-        seed=cfg.seed)
+        seed=cfg.seed, accel=accel)
 
     ball = rng.unit_ball(pix_id, samp_id,
                          rng.bounce_stream(bounce, rng.Streams.SCATTER_BALL),

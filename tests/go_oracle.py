@@ -75,6 +75,12 @@ def _mat(mdata):
         return dict(kind="perfectmirror", albedo=color,
                     roughness=min(g("roughness", 0.0), 1.0),
                     metallic=1.0, specular=1.0, ior=2.0)
+    if t == "mirror":
+        # advanced_materials.go:68-109 (loader-unreachable in Go; realized
+        # by the extended loader): metallic/specular getters both 1.0.
+        return dict(kind="mirror", albedo=color,
+                    roughness=min(g("roughness", 0.0), 1.0),
+                    metallic=1.0, specular=1.0, ior=1.5)
     if t == "glass":
         return dict(kind="glass", albedo=color, roughness=0.0, metallic=0.0,
                     specular=1.0, ior=g("refractionIndex", 1.5))
@@ -215,6 +221,13 @@ class Oracle:
             if np.all(np.abs(sd) < 1e-8):
                 sd = n
             return norm(sd), m["albedo"].copy(), True
+        if k == "mirror":
+            # advanced_materials.go:81-89: raw reflection + roughness*ball,
+            # NOT normalized; didScatter = dot(scattered, n) > 0 (:88).
+            r = reflect(d, n)
+            if m["roughness"] > 0:
+                r = r + self._ball() * m["roughness"]
+            return r, m["albedo"].copy(), float(r @ n) > 0.0
         if k in ("metal", "shiny", "perfectmirror"):
             r = reflect(d, n)
             thresh = 0.0 if k == "shiny" else 0.001
@@ -306,7 +319,11 @@ class Oracle:
         sc = self.scatter(m, o, d, p, n, ff)
         if sc is None:
             return emitted + dl
-        nd, att, _ = sc
+        nd, att, did = sc
+        if not did:
+            # renderer.go:181-184: didScatter false -> emitted + direct
+            # (reachable only via Mirror's below-surface branch).
+            return emitted + dl
         refl = np.zeros(3)
         if self.recursive:
             refl = self.trace(p, nd, depth + 1)

@@ -1,0 +1,214 @@
+"""BVH acceleration of the LIVE render path.
+
+The reference's spatial_acceleration.go:45-69 traversal was meant to
+accelerate hitWorld (renderer.go:333-346) but never compiled; these tests
+pin the working replacement: the unified scene BVH must produce EXACTLY
+the same hits as the brute-force scan, end-to-end through the renderer.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytrace_tpu import bvh as bvh_mod
+from raytrace_tpu import scene as scene_mod
+from raytrace_tpu import trace as trace_mod
+from raytrace_tpu.ops import intersect
+
+
+def _mixed_geom(seed=0, ns=60, n_cubes=8, with_plane=True):
+    """Random spheres + cubes (+ ground plane) as a scene dict."""
+    r = np.random.default_rng(seed)
+    objs = []
+    for i in range(ns):
+        objs.append({"type": "sphere",
+                     "position": (r.uniform(-8, 8, 3)).tolist(),
+                     "radius": float(r.uniform(0.3, 1.2)),
+                     "material": {"type": "lambertian",
+                                  "color": r.uniform(0.2, 1, 3).tolist()}})
+    for i in range(n_cubes):
+        objs.append({"type": "cube",
+                     "position": (r.uniform(-8, 8, 3)).tolist(),
+                     "size": r.uniform(0.5, 2.0, 3).tolist(),
+                     "material": {"type": "metal",
+                                  "color": [0.8, 0.8, 0.9],
+                                  "roughness": 0.2}})
+    if with_plane:
+        objs.append({"type": "plane", "position": [0, -10, 0],
+                     "normal": [0, 1, 0],
+                     "material": {"type": "lambertian",
+                                  "color": [0.5, 0.5, 0.5]}})
+    return {
+        "camera": {"position": [0, 0, 20], "lookAt": [0, 0, 0],
+                   "up": [0, 1, 0], "fov": 60, "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [5, 10, 10],
+                    "color": [1, 1, 1], "intensity": 120.0}],
+    }
+
+
+def _rand_rays(n, seed=1):
+    r = np.random.default_rng(seed)
+    origin = jnp.asarray(r.uniform(-15, 15, (n, 3)), jnp.float32)
+    direction = jnp.asarray(r.normal(size=(n, 3)), jnp.float32)
+    return origin, direction
+
+
+def test_auto_accel_attach():
+    """from_dict attaches a BVH past BVH_THRESHOLD primitives, not below."""
+    small, _ = scene_mod.from_dict(_mixed_geom(ns=4, n_cubes=0,
+                                               with_plane=False))
+    assert small.accel is None
+    big, _ = scene_mod.from_dict(_mixed_geom())
+    assert big.accel is not None
+    ns = big.geometry.sph_center.shape[0]
+    nt = big.geometry.tri_v0.shape[0]
+    assert big.accel.prim_index.shape[0] == ns + nt
+    # the permutation covers every primitive exactly once
+    assert sorted(np.asarray(big.accel.prim_index).tolist()) == \
+        list(range(ns + nt))
+
+
+def test_closest_hit_accel_equivalence():
+    """BVH closest_hit == brute force on every Hit field (mixed scene,
+    wild ray set including rays from inside geometry)."""
+    scene, _ = scene_mod.from_dict(_mixed_geom())
+    origin, direction = _rand_rays(4096)
+    brute = intersect.closest_hit(scene.geometry, origin, direction)
+    accel = intersect.closest_hit(scene.geometry, origin, direction,
+                                  accel=scene.accel)
+    np.testing.assert_array_equal(np.asarray(brute.hit),
+                                  np.asarray(accel.hit))
+    h = np.asarray(brute.hit)
+    # rtol 2e-5: same formulas, but the two XLA programs fuse/FMA the dot
+    # products differently (measured max rel diff ~1e-5 on sphere lanes).
+    np.testing.assert_allclose(np.asarray(brute.t)[h],
+                               np.asarray(accel.t)[h], rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(brute.mat_id)[h],
+                                  np.asarray(accel.mat_id)[h])
+    # normals amplify the t reassociation diff by |direction| / radius
+    np.testing.assert_allclose(np.asarray(brute.normal)[h],
+                               np.asarray(accel.normal)[h], rtol=0,
+                               atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(brute.front_face)[h],
+                                  np.asarray(accel.front_face)[h])
+
+
+def test_closest_hit_accel_respects_t_max():
+    scene, _ = scene_mod.from_dict(_mixed_geom(with_plane=False))
+    origin, direction = _rand_rays(1024, seed=3)
+    for t_max in (2.0, 10.0):
+        brute = intersect.closest_hit(scene.geometry, origin, direction,
+                                      t_max=t_max)
+        accel = intersect.closest_hit(scene.geometry, origin, direction,
+                                      t_max=t_max, accel=scene.accel)
+        np.testing.assert_array_equal(np.asarray(brute.hit),
+                                      np.asarray(accel.hit))
+        h = np.asarray(brute.hit)
+        # atol 1e-3: a prim marginally at t_max can pass in one program
+        # and fail in the other (reassociation), letting the next-nearest
+        # prim win - both outcomes are correct to float precision.
+        np.testing.assert_allclose(np.asarray(brute.t)[h],
+                                   np.asarray(accel.t)[h], rtol=2e-5,
+                                   atol=1e-3)
+
+
+def test_any_hit_accel_equivalence():
+    scene, _ = scene_mod.from_dict(_mixed_geom())
+    origin, direction = _rand_rays(4096, seed=2)
+    # per-lane t_max exercises the shadow-ray contract
+    r = np.random.default_rng(5)
+    t_max = jnp.asarray(r.uniform(0.5, 30.0, (4096,)), jnp.float32)
+    brute = intersect.any_hit(scene.geometry, origin, direction, 1e-3,
+                              t_max)
+    accel = intersect.any_hit(scene.geometry, origin, direction, 1e-3,
+                              t_max, accel=scene.accel)
+    np.testing.assert_array_equal(np.asarray(brute), np.asarray(accel))
+
+
+def _ring_scene_dict(n=1000):
+    """The reference benchmark's synthetic scene: a ground plane + a ring
+    of spheres (comprehensive_benchmark.go:163-185, scaled to n)."""
+    objs = [{"type": "plane", "position": [0, -1.5, 0],
+             "normal": [0, 1, 0],
+             "material": {"type": "lambertian", "color": [0.6, 0.6, 0.6]}}]
+    for i in range(n):
+        ang = 2.0 * np.pi * i / n
+        rad = 4.0 + 2.0 * ((i * 37) % 5)
+        objs.append({
+            "type": "sphere",
+            "position": [rad * np.cos(ang),
+                         0.5 + 0.02 * (i % 7),
+                         rad * np.sin(ang)],
+            "radius": 0.25 + 0.01 * (i % 4),
+            "material": {"type": "metal" if i % 3 else "lambertian",
+                         "color": [0.7, 0.5 + 0.001 * (i % 100), 0.4],
+                         "roughness": 0.1}})
+    return {
+        "camera": {"position": [0, 2, 18], "lookAt": [0, 0, 0],
+                   "up": [0, 1, 0], "fov": 60, "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [0, 15, 5],
+                    "color": [1, 1, 1], "intensity": 300.0}],
+    }
+
+
+def test_ring_scene_render_accel_matches_brute():
+    """End-to-end: a 1000-sphere ring renders identically with and without
+    the BVH (tiny frame; engine-level equivalence of the live path)."""
+    data = _ring_scene_dict(1000)
+    scene_b, _ = scene_mod.from_dict(data, build_accel=False)
+    scene_a, _ = scene_mod.from_dict(data, build_accel=True)
+    assert scene_a.accel is not None and scene_b.accel is None
+
+    from raytrace_tpu import renderer as renderer_mod
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+    kw = dict(width=16, height=12, band_h=12, samples=1, cfg=cfg,
+              go_camera=False)
+    img_b = renderer_mod.render_band(scene_b, jnp.int32(0), **kw)
+    img_a = renderer_mod.render_band(scene_a, jnp.int32(0), **kw)
+    assert float(jnp.max(img_b)) > 0.0  # scene actually visible
+    # Tolerance covers float-reassociation-level hit-point differences
+    # propagating through 3 bounces of shading (not MC noise: the RNG is
+    # identical on both paths).
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b),
+                               atol=5e-3)
+    assert float(jnp.mean(jnp.abs(img_a - img_b))) < 1e-4
+
+
+def test_traverse_visits_fraction():
+    """Sanity that the BVH actually prunes: coherent camera rays into a
+    1000-sphere ring must finish in far fewer leaf tests than brute force
+    (proxy: traversal loop steps bounded well under n_prims)."""
+    data = _ring_scene_dict(500)
+    scene, _ = scene_mod.from_dict(data, build_accel=True)
+    # count iterations by instrumenting the cursor walk manually
+    bvh = scene.accel
+    geom = scene.geometry
+    origin = jnp.tile(jnp.asarray([[0.0, 2.0, 18.0]], jnp.float32),
+                      (256, 1))
+    r = np.random.default_rng(7)
+    direction = jnp.asarray(
+        np.stack([r.uniform(-0.3, 0.3, 256), r.uniform(-0.3, 0.1, 256),
+                  -np.ones(256)], axis=-1), jnp.float32)
+    n_nodes = bvh.node_min.shape[0]
+    inv_d = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)
+
+    cursor = jnp.zeros((256,), jnp.int32)
+    steps = 0
+    max_steps = n_nodes + 1
+    while bool(jnp.any(cursor < n_nodes)) and steps < max_steps:
+        cur = jnp.minimum(cursor, n_nodes - 1)
+        hit_box = bvh_mod._aabb_hit(
+            jnp.take(bvh.node_min, cur, axis=0),
+            jnp.take(bvh.node_max, cur, axis=0),
+            origin, inv_d, 1e-3, jnp.full((256,), bvh_mod._BIG))
+        is_leaf = jnp.take(bvh.node_count, cur, axis=0) > 0
+        nxt = jnp.where(hit_box & ~is_leaf, cur + 1,
+                        jnp.take(bvh.node_skip, cur, axis=0))
+        cursor = jnp.where(cursor < n_nodes, nxt, cursor)
+        steps += 1
+    # lockstep bound: even the WORST lane's walk is well under visiting
+    # every node (ring scene: expect O(depth + few leaves))
+    assert steps < n_nodes // 2, (steps, n_nodes)

@@ -36,10 +36,15 @@ def test_xorshift64star_bit_exact():
     assert len(set(vals)) == 100  # no repeats
     # vectorized form agrees with the scalar struct
     r2 = fm.FastRandom(12345)
-    states = jnp.asarray([np.uint64(12345)], jnp.uint64)
     with jax.enable_x64():
+        # the array must be BUILT under x64 too - outside it, JAX silently
+        # truncates to uint32 (which xorshift64star now rejects)
+        states = jnp.asarray([np.uint64(12345)], jnp.uint64)
         st, out = fm.xorshift64star(states)
         assert int(out[0]) == r2.next_uint64()
+    # without x64 the truncated state must be rejected, not mis-computed
+    with pytest.raises(TypeError):
+        fm.xorshift64star(jnp.asarray([12345], jnp.uint32))
 
 
 def test_fast_wrappers_and_vec_ops():
