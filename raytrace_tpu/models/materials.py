@@ -246,6 +246,17 @@ def material_row(mdata: Dict[str, Any],
     return row
 
 
+def row_key(row: Dict[str, Any]) -> tuple:
+    """Hashable identity of a material row (for load-time deduplication:
+    a 1000-object scene usually has far fewer distinct materials, and the
+    kernel's masked material gather is O(table rows) per bounce)."""
+    return (row["kind"], tuple(row["albedo"]), row["roughness"],
+            row["metallic"], row["specular"], row["ior"],
+            tuple(row["emit"]), tuple(row["eff_albedo"]),
+            tuple(row["aux_vec"]), row["aux_a"], row["aux_b"],
+            row.get("texture"))
+
+
 def build_table(rows, dtype=jnp.float32) -> MaterialTable:
     """Stack material rows into a MaterialTable (at least one row)."""
     if not rows:

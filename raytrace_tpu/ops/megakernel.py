@@ -53,8 +53,12 @@ LANE = 128
 # MAX_KERNEL_PRIMS to experiment.
 UNROLL_PRIM_LIMIT = 96
 # Above this the kernel's unrolled code size stops being sensible;
-# bigger scenes take the jnp path (batched lanes x primitives + BVH).
+# bigger scenes use the in-kernel BVH walk (requires scene.accel), up to
+# the SMEM capacity cap below.
 MAX_KERNEL_PRIMS = 96
+# BVH-walk kernel: scene tables + node table live in SMEM; this cap keeps
+# them comfortably inside scalar memory (~4096 prims ~= 80-250 KB).
+MAX_BVH_KERNEL_PRIMS = 4096
 
 
 def scene_fits_kernel(scene) -> bool:
@@ -68,7 +72,25 @@ def scene_fits_kernel(scene) -> bool:
     if getattr(scene.materials, "textures", ()):
         # Per-hit procedural textures are evaluated by the jnp engine.
         return False
-    return (ns + nt + npl) <= MAX_KERNEL_PRIMS
+    n = ns + nt + npl
+    if n <= MAX_KERNEL_PRIMS:
+        return True
+    # Large scenes: the packet-BVH kernel walks scene.accel (scene.py
+    # attaches it automatically past bvh.BVH_THRESHOLD).
+    return (getattr(scene, "accel", None) is not None
+            and n <= MAX_BVH_KERNEL_PRIMS)
+
+
+def _kernel_mode(scene) -> str:
+    """'unroll' | 'loop' | 'bvh' for a given scene shape."""
+    n = (scene.geometry.sph_center.shape[0]
+         + scene.geometry.tri_v0.shape[0]
+         + scene.geometry.pl_point.shape[0])
+    if n <= UNROLL_PRIM_LIMIT:
+        return "unroll"
+    if getattr(scene, "accel", None) is not None:
+        return "bvh"
+    return "loop"
 
 
 # ---------------------------------------------------------------------------
@@ -116,13 +138,28 @@ def _unit_ball(pix, samp, stream, seed):
 
 def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                  start_bounce: int = 0, end_bounce=None,
-                 return_state: bool = False):
+                 return_state: bool = False, mode: str = "unroll",
+                 n_nodes: int = 0):
     """Build the kernel body for a scene shape (all sizes static).
 
     start_bounce/end_bounce bound the loop (RNG streams key off the
     absolute bounce index, so a [0,B) + resume [B,D) split is bit-identical
     to a single [0,D) run); return_state additionally emits the live ray
     state so the driver can re-compact survivors mid-trace.
+
+    mode:
+      * 'unroll' - primitive loops fully unrolled (best pipelining;
+        compile time scales with scene size);
+      * 'loop'   - fori_loop over SMEM rows (any size, brute force);
+      * 'bvh'    - packet BVH walk (the TPU form of spatial acceleration,
+        spatial_acceleration.go:45-69): one scalar cursor per lane BLOCK
+        walks the skip-pointer tree; node AABBs are tested by all lanes
+        on the VPU and the block descends when ANY lane's slab test
+        passes; leaves run a traced-bound fori over their primitives.
+        Shadow rays run the same packet walk per test (any-hit variant):
+        lanes whose shading terms are provably zero start pre-marked
+        blocked, so a block whose every relevant lane has resolved exits
+        the walk early. Needs n_nodes and the extra bvh/pidx refs.
     """
     max_depth = cfg.max_depth if end_bounce is None else end_bounce
     shadow_samples = cfg.shadow_samples
@@ -141,8 +178,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         a = dx * dx + dy * dy + dz * dz  # |d|^2, shared by all spheres
         inv_a = 1.0 / a
         for j in range(ns):
-            cx, cy, cz, r, m = (sph[j, 0], sph[j, 1], sph[j, 2],
-                                sph[j, 3], sph[j, 4])
+            cx, cy, cz, r, m = (sph[0, j], sph[1, j], sph[2, j],
+                                sph[3, j], sph[4, j])
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
             half_b = ocx * dx + ocy * dy + ocz * dz
             c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -165,11 +202,11 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             nz = jnp.where(win, (pzj - cz) * inv_r, nz)
             mat = jnp.where(win, m, mat)
         for j in range(nt):
-            v0x, v0y, v0z = tri[j, 0], tri[j, 1], tri[j, 2]
-            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
-            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
-            fnx, fny, fnz = tri[j, 9], tri[j, 10], tri[j, 11]
-            m = tri[j, 12]
+            v0x, v0y, v0z = tri[0, j], tri[1, j], tri[2, j]
+            e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
+            e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
+            fnx, fny, fnz = tri[9, j], tri[10, j], tri[11, j]
+            m = tri[12, j]
             # h = d x e2 (Moller-Trumbore, triangle.go:36-82)
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
@@ -193,9 +230,9 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             nz = jnp.where(win, fnz, nz)
             mat = jnp.where(win, m, mat)
         for j in range(npl):
-            ppx, ppy, ppz = pln[j, 0], pln[j, 1], pln[j, 2]
-            pnx, pny, pnz = pln[j, 3], pln[j, 4], pln[j, 5]
-            m = pln[j, 6]
+            ppx, ppy, ppz = pln[0, j], pln[1, j], pln[2, j]
+            pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
+            m = pln[6, j]
             # plane.go:21-46: exact denom==0 miss, t = (p-o).n / denom
             denom = dx * pnx + dy * pny + dz * pnz
             para = denom == 0.0
@@ -219,15 +256,15 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         """
         sph_pre = []
         for j in range(ns):
-            cx, cy, cz, r = sph[j, 0], sph[j, 1], sph[j, 2], sph[j, 3]
+            cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
             cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
             sph_pre.append((ocx, ocy, ocz, cc))
         tri_pre = []
         for j in range(nt):
-            v0x, v0y, v0z = tri[j, 0], tri[j, 1], tri[j, 2]
-            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
-            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            v0x, v0y, v0z = tri[0, j], tri[1, j], tri[2, j]
+            e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
+            e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
             sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
@@ -236,9 +273,9 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             tri_pre.append((sx, sy, sz, qx, qy, qz, e2q))
         pl_pre = []
         for j in range(npl):
-            num = ((pln[j, 0] - ox) * pln[j, 3]
-                   + (pln[j, 1] - oy) * pln[j, 4]
-                   + (pln[j, 2] - oz) * pln[j, 5])
+            num = ((pln[0, j] - ox) * pln[3, j]
+                   + (pln[1, j] - oy) * pln[4, j]
+                   + (pln[2, j] - oz) * pln[5, j])
             pl_pre.append(num)
         return sph_pre, tri_pre, pl_pre
 
@@ -258,8 +295,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             blocked |= ok & (((r0 >= t_min) & (r0 <= t_max))
                              | ((r1 >= t_min) & (r1 <= t_max)))
         for j, (sx, sy, sz, qx, qy, qz, e2q) in enumerate(tri_pre):
-            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
-            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
+            e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
@@ -272,7 +309,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             blocked |= (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                         & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
         for j, num in enumerate(pl_pre):
-            denom = (dx * pln[j, 3] + dy * pln[j, 4] + dz * pln[j, 5])
+            denom = (dx * pln[3, j] + dy * pln[4, j] + dz * pln[5, j])
             para = denom == 0.0
             tj = num / jnp.where(para, 1.0, denom)
             blocked |= (~para) & (tj >= t_min) & (tj <= t_max)
@@ -283,7 +320,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
     # code size scale with the scene; past UNROLL_PRIM_LIMIT primitives the
     # kernels below iterate with lax.fori_loop instead (carry vectors are
     # f32 - i1 vector carries fail to legalize).
-    loop_mode = (ns + nt + npl) > UNROLL_PRIM_LIMIT
+    loop_mode = mode in ("loop", "bvh")
 
     def closest_hit_loop(sph, tri, pln, ox, oy, oz, dx, dy, dz):
         shape = ox.shape
@@ -293,8 +330,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
 
         def sph_body(j, carry):
             t_best, nx, ny, nz, mat = carry
-            cx, cy, cz, r, m = (sph[j, 0], sph[j, 1], sph[j, 2],
-                                sph[j, 3], sph[j, 4])
+            cx, cy, cz, r, m = (sph[0, j], sph[1, j], sph[2, j],
+                                sph[3, j], sph[4, j])
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
             half_b = ocx * dx + ocy * dy + ocz * dz
             c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -316,15 +353,15 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
 
         def tri_body(j, carry):
             t_best, nx, ny, nz, mat = carry
-            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
-            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
+            e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
             det = e1x * hx + e1y * hy + e1z * hz
             good = jnp.abs(det) >= 1e-6
             f = 1.0 / jnp.where(good, det, 1.0)
-            sx, sy, sz = ox - tri[j, 0], oy - tri[j, 1], oz - tri[j, 2]
+            sx, sy, sz = ox - tri[0, j], oy - tri[1, j], oz - tri[2, j]
             u = f * (sx * hx + sy * hy + sz * hz)
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
@@ -334,24 +371,24 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             win = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                    & (u + v <= 1.0) & (tj >= t_min) & (tj < t_best))
             return (jnp.where(win, tj, t_best),
-                    jnp.where(win, tri[j, 9], nx),
-                    jnp.where(win, tri[j, 10], ny),
-                    jnp.where(win, tri[j, 11], nz),
-                    jnp.where(win, tri[j, 12], mat))
+                    jnp.where(win, tri[9, j], nx),
+                    jnp.where(win, tri[10, j], ny),
+                    jnp.where(win, tri[11, j], nz),
+                    jnp.where(win, tri[12, j], mat))
 
         def pln_body(j, carry):
             t_best, nx, ny, nz, mat = carry
-            pnx, pny, pnz = pln[j, 3], pln[j, 4], pln[j, 5]
+            pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
             denom = dx * pnx + dy * pny + dz * pnz
             para = denom == 0.0
-            tj = ((pln[j, 0] - ox) * pnx + (pln[j, 1] - oy) * pny
-                  + (pln[j, 2] - oz) * pnz) / jnp.where(para, 1.0, denom)
+            tj = ((pln[0, j] - ox) * pnx + (pln[1, j] - oy) * pny
+                  + (pln[2, j] - oz) * pnz) / jnp.where(para, 1.0, denom)
             win = (~para) & (tj >= t_min) & (tj < t_best)
             return (jnp.where(win, tj, t_best),
                     jnp.where(win, pnx, nx),
                     jnp.where(win, pny, ny),
                     jnp.where(win, pnz, nz),
-                    jnp.where(win, pln[j, 6], mat))
+                    jnp.where(win, pln[6, j], mat))
 
         carry = (jnp.full(shape, BIG), zeros, zeros, zeros, zeros)
         if ns:
@@ -367,7 +404,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         inv_a = 1.0 / a
 
         def sph_body(j, blocked_f):
-            cx, cy, cz, r = sph[j, 0], sph[j, 1], sph[j, 2], sph[j, 3]
+            cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
             half_b = ocx * dx + ocy * dy + ocz * dz
             c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -381,15 +418,15 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
 
         def tri_body(j, blocked_f):
-            e1x, e1y, e1z = tri[j, 3], tri[j, 4], tri[j, 5]
-            e2x, e2y, e2z = tri[j, 6], tri[j, 7], tri[j, 8]
+            e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
+            e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
             det = e1x * hx + e1y * hy + e1z * hz
             good = jnp.abs(det) >= 1e-6
             f = 1.0 / jnp.where(good, det, 1.0)
-            sx, sy, sz = ox - tri[j, 0], oy - tri[j, 1], oz - tri[j, 2]
+            sx, sy, sz = ox - tri[0, j], oy - tri[1, j], oz - tri[2, j]
             u = f * (sx * hx + sy * hy + sz * hz)
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
@@ -401,11 +438,11 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
 
         def pln_body(j, blocked_f):
-            denom = dx * pln[j, 3] + dy * pln[j, 4] + dz * pln[j, 5]
+            denom = dx * pln[3, j] + dy * pln[4, j] + dz * pln[5, j]
             para = denom == 0.0
-            tj = ((pln[j, 0] - ox) * pln[j, 3]
-                  + (pln[j, 1] - oy) * pln[j, 4]
-                  + (pln[j, 2] - oz) * pln[j, 5]) \
+            tj = ((pln[0, j] - ox) * pln[3, j]
+                  + (pln[1, j] - oy) * pln[4, j]
+                  + (pln[2, j] - oz) * pln[5, j]) \
                 / jnp.where(para, 1.0, denom)
             hit = (~para) & (tj >= t_min) & (tj <= t_max)
             return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
@@ -419,36 +456,321 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             blocked_f = jax.lax.fori_loop(0, npl, pln_body, blocked_f)
         return blocked_f > 0.0
 
-    def kernel(sph_ref, tri_ref, pln_ref, lit_ref, mat_ref, pix_ref,
-               samp_ref,
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               tx_ref, ty_ref, tz_ref, al_ref,
-               rx_ref, ry_ref, rz_ref, *state_refs):
-        sph = sph_ref
-        tri = tri_ref
-        pln = pln_ref
-        lit = lit_ref
-        mtab = mat_ref
+    def kernel(*refs):
+        i0 = 0
+        if mode == "bvh":
+            bvh, pidx = refs[0], refs[1]
+            i0 = 2
+        sph, tri, pln, lit, mtab = refs[i0:i0 + 5]
+        pix_ref, samp_ref = refs[i0 + 5], refs[i0 + 6]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tx_ref, ty_ref, tz_ref, al_ref) = refs[i0 + 7:i0 + 17]
+        rx_ref, ry_ref, rz_ref = refs[i0 + 17:i0 + 20]
+        state_refs = refs[i0 + 20:i0 + 30] if return_state else ()
         pix = pix_ref[:]
         samp = samp_ref[:]
 
-        if loop_mode:
-            def closest_fn(ox, oy, oz, dx, dy, dz):
+        if mode == "bvh":
+            # ---- packet BVH walk over the scene tree in SMEM ----------
+            iv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
+
+            def _sph_closest_row(pid, cy, ox, oy, oz, dx, dy, dz, a,
+                                 inv_a):
+                t_best, nx, ny, nz, mat = cy
+                cx, cyy, cz = sph[0, pid], sph[1, pid], sph[2, pid]
+                r, m = sph[3, pid], sph[4, pid]
+                ocx, ocy, ocz = ox - cx, oy - cyy, oz - cz
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = half_b * half_b - a * c
+                ok = disc >= 0.0
+                sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+                r0 = (-half_b - sq) * inv_a
+                r1 = (-half_b + sq) * inv_a
+                in0 = ok & (r0 >= t_min) & (r0 <= t_best)
+                in1 = ok & (r1 >= t_min) & (r1 <= t_best)
+                tj = jnp.where(in0, r0, jnp.where(in1, r1, BIG))
+                win = tj < t_best
+                inv_r = 1.0 / r
+                return (jnp.where(win, tj, t_best),
+                        jnp.where(win, (ox + dx * tj - cx) * inv_r, nx),
+                        jnp.where(win, (oy + dy * tj - cyy) * inv_r, ny),
+                        jnp.where(win, (oz + dz * tj - cz) * inv_r, nz),
+                        jnp.where(win, m, mat))
+
+            def _tri_closest_row(tj_i, cy, ox, oy, oz, dx, dy, dz):
+                t_best, nx, ny, nz, mat = cy
+                e1x, e1y, e1z = tri[3, tj_i], tri[4, tj_i], tri[5, tj_i]
+                e2x, e2y, e2z = tri[6, tj_i], tri[7, tj_i], tri[8, tj_i]
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                det = e1x * hx + e1y * hy + e1z * hz
+                good = jnp.abs(det) >= 1e-6
+                f = 1.0 / jnp.where(good, det, 1.0)
+                sx = ox - tri[0, tj_i]
+                sy = oy - tri[1, tj_i]
+                sz = oz - tri[2, tj_i]
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                tj = f * (e2x * qx + e2y * qy + e2z * qz)
+                win = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (tj >= t_min) & (tj < t_best))
+                return (jnp.where(win, tj, t_best),
+                        jnp.where(win, tri[9, tj_i], nx),
+                        jnp.where(win, tri[10, tj_i], ny),
+                        jnp.where(win, tri[11, tj_i], nz),
+                        jnp.where(win, tri[12, tj_i], mat))
+
+            def _pln_closest_row(j, cy, ox, oy, oz, dx, dy, dz):
+                t_best, nx, ny, nz, mat = cy
+                pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
+                denom = dx * pnx + dy * pny + dz * pnz
+                para = denom == 0.0
+                tj = ((pln[0, j] - ox) * pnx + (pln[1, j] - oy) * pny
+                      + (pln[2, j] - oz) * pnz) \
+                    / jnp.where(para, 1.0, denom)
+                win = (~para) & (tj >= t_min) & (tj < t_best)
+                return (jnp.where(win, tj, t_best),
+                        jnp.where(win, pnx, nx),
+                        jnp.where(win, pny, ny),
+                        jnp.where(win, pnz, nz),
+                        jnp.where(win, pln[6, j], mat))
+
+            def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
+                shape = ox.shape
+                zeros = jnp.zeros(shape)
+                a = dx * dx + dy * dy + dz * dz
+                inv_a = 1.0 / a
+                ivx, ivy, ivz = iv(dx), iv(dy), iv(dz)
+
+                def cond(c):
+                    return c[0] < n_nodes
+
+                def body(c):
+                    cur = c[0]
+                    carry = c[1:]
+                    t_best = carry[0]
+                    t0x = (bvh[0, cur] - ox) * ivx
+                    t1x = (bvh[3, cur] - ox) * ivx
+                    t0y = (bvh[1, cur] - oy) * ivy
+                    t1y = (bvh[4, cur] - oy) * ivy
+                    t0z = (bvh[2, cur] - oz) * ivz
+                    t1z = (bvh[5, cur] - oz) * ivz
+                    near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+                    far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+                    boxed = jnp.max(
+                        jnp.where(near <= far, alive_f, 0.0)) > 0.0
+                    skip = bvh[6, cur].astype(jnp.int32)
+                    first = bvh[7, cur].astype(jnp.int32)
+                    cnt = bvh[8, cur].astype(jnp.int32)
+                    is_leaf = cnt > 0
+
+                    def leafer(cy):
+                        def lb(j, cy2):
+                            pid = pidx[0, first + j].astype(jnp.int32)
+                            if ns and nt:
+                                return jax.lax.cond(
+                                    pid < ns,
+                                    lambda c2: _sph_closest_row(
+                                        pid, c2, ox, oy, oz, dx, dy, dz,
+                                        a, inv_a),
+                                    lambda c2: _tri_closest_row(
+                                        pid - ns, c2, ox, oy, oz,
+                                        dx, dy, dz),
+                                    cy2)
+                            if ns:
+                                return _sph_closest_row(
+                                    pid, cy2, ox, oy, oz, dx, dy, dz,
+                                    a, inv_a)
+                            return _tri_closest_row(pid, cy2, ox, oy, oz,
+                                                    dx, dy, dz)
+                        return jax.lax.fori_loop(0, cnt, lb, cy)
+
+                    carry = jax.lax.cond(boxed & is_leaf, leafer,
+                                         lambda cy: cy, carry)
+                    nxt = jnp.where(boxed & (~is_leaf), cur + 1, skip)
+                    return (nxt,) + carry
+
+                init = (jnp.int32(0), jnp.full(shape, BIG),
+                        zeros, zeros, zeros, zeros)
+                out = jax.lax.while_loop(cond, body, init)
+                carry = out[1:]
+                if npl:
+                    carry = jax.lax.fori_loop(
+                        0, npl,
+                        lambda j, cy: _pln_closest_row(j, cy, ox, oy, oz,
+                                                       dx, dy, dz),
+                        carry)
+                return carry
+
+            def occl_pre_fn(px_, py_, pz_):
+                return (px_, py_, pz_)
+
+            def occl_light_fn(pre, mask_f, lx, ly, lz, dist):
+                """Carry the shadow-relevance mask into the walk: lanes
+                whose lighting terms are provably zero start the any-hit
+                walk pre-marked blocked, so the packet descends only for
+                nodes some RELEVANT lane's segment touches and exits as
+                soon as every relevant lane has resolved. (A candidate-
+                list variant - one hull walk per (block, light) into SMEM
+                scratch - was tried first and loses badly on wide blocks:
+                the hull covers most of the scene and overflow falls back
+                to the full primitive loop.)"""
+                return (pre, mask_f)
+
+            def occl_test_fn(lctx, ddx, ddy, ddz, tmax):
+                """Packet any-hit BVH walk (early-exit shadow test).
+
+                Returns blocked>0 per lane; pre-masked lanes report
+                'blocked', which every caller ignores (their terms carry
+                a zero cos/alive factor)."""
+                (px_, py_, pz_), mask_f = lctx
+                a = ddx * ddx + ddy * ddy + ddz * ddz
+                inv_a = 1.0 / a
+
+                def _sph_any(pid, bf):
+                    ocx = px_ - sph[0, pid]
+                    ocy = py_ - sph[1, pid]
+                    ocz = pz_ - sph[2, pid]
+                    r = sph[3, pid]
+                    half_b = ocx * ddx + ocy * ddy + ocz * ddz
+                    c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                    disc = half_b * half_b - a * c
+                    ok = disc >= 0.0
+                    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+                    r0 = (-half_b - sq) * inv_a
+                    r1 = (-half_b + sq) * inv_a
+                    hit = ok & (((r0 >= t_min) & (r0 <= tmax))
+                                | ((r1 >= t_min) & (r1 <= tmax)))
+                    return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+                def _tri_any(tj_i, bf):
+                    e1x, e1y, e1z = (tri[3, tj_i], tri[4, tj_i],
+                                     tri[5, tj_i])
+                    e2x, e2y, e2z = (tri[6, tj_i], tri[7, tj_i],
+                                     tri[8, tj_i])
+                    hx = ddy * e2z - ddz * e2y
+                    hy = ddz * e2x - ddx * e2z
+                    hz = ddx * e2y - ddy * e2x
+                    det = e1x * hx + e1y * hy + e1z * hz
+                    good = jnp.abs(det) >= 1e-6
+                    f = 1.0 / jnp.where(good, det, 1.0)
+                    sx = px_ - tri[0, tj_i]
+                    sy = py_ - tri[1, tj_i]
+                    sz = pz_ - tri[2, tj_i]
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (ddx * qx + ddy * qy + ddz * qz)
+                    tj = f * (e2x * qx + e2y * qy + e2z * qz)
+                    hit = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                           & (u + v <= 1.0) & (tj >= t_min)
+                           & (tj <= tmax))
+                    return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+                ivx, ivy, ivz = iv(ddx), iv(ddy), iv(ddz)
+
+                # Planes are not in the tree; test them first so their
+                # blocks feed the early-exit of the walk.
+                bf = 1.0 - mask_f
+                if npl:
+                    def pb(j, b):
+                        denom = (ddx * pln[3, j] + ddy * pln[4, j]
+                                 + ddz * pln[5, j])
+                        para = denom == 0.0
+                        tj = ((pln[0, j] - px_) * pln[3, j]
+                              + (pln[1, j] - py_) * pln[4, j]
+                              + (pln[2, j] - pz_) * pln[5, j]) \
+                            / jnp.where(para, 1.0, denom)
+                        hit = (~para) & (tj >= t_min) & (tj <= tmax)
+                        return jnp.maximum(b, jnp.where(hit, 1.0, 0.0))
+                    bf = jax.lax.fori_loop(0, npl, pb, bf)
+
+                def wcond(c):
+                    return c[0] < n_nodes
+
+                def wbody(c):
+                    cur, bf2 = c
+                    t0x = (bvh[0, cur] - px_) * ivx
+                    t1x = (bvh[3, cur] - px_) * ivx
+                    t0y = (bvh[1, cur] - py_) * ivy
+                    t1y = (bvh[4, cur] - py_) * ivy
+                    t0z = (bvh[2, cur] - pz_) * ivz
+                    t1z = (bvh[5, cur] - pz_) * ivz
+                    near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+                    far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), tmax))
+                    want = jnp.where((near <= far) & (bf2 < 1.0),
+                                     1.0, 0.0)
+                    boxed = jnp.max(want) > 0.0
+                    skip = bvh[6, cur].astype(jnp.int32)
+                    first = bvh[7, cur].astype(jnp.int32)
+                    cnt = bvh[8, cur].astype(jnp.int32)
+                    is_leaf = cnt > 0
+
+                    def leafer(b2):
+                        def lb(j, b3):
+                            pid = pidx[0, first + j].astype(jnp.int32)
+                            if ns and nt:
+                                return jax.lax.cond(
+                                    pid < ns,
+                                    lambda b: _sph_any(pid, b),
+                                    lambda b: _tri_any(pid - ns, b), b3)
+                            if ns:
+                                return _sph_any(pid, b3)
+                            return _tri_any(pid, b3)
+                        return jax.lax.fori_loop(0, cnt, lb, b2)
+
+                    bf2 = jax.lax.cond(boxed & is_leaf, leafer,
+                                       lambda b: b, bf2)
+                    done = jnp.min(bf2) >= 1.0
+                    nxt = jnp.where(done, n_nodes,
+                                    jnp.where(boxed & (~is_leaf),
+                                              cur + 1, skip))
+                    return nxt, bf2
+
+                _, bf = jax.lax.while_loop(wcond, wbody,
+                                           (jnp.int32(0), bf))
+                return bf > 0.0
+        elif loop_mode:
+            def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
                 return closest_hit_loop(sph, tri, pln, ox, oy, oz,
                                         dx, dy, dz)
 
             def occl_pre_fn(px_, py_, pz_):
                 return (px_, py_, pz_)
 
+            def occl_light_fn(pre, mask_f, lx, ly, lz, dist):
+                return pre
+
             def occl_test_fn(pre, ddx, ddy, ddz, tmax):
                 return any_hit_loop(sph, tri, pln, pre[0], pre[1], pre[2],
                                     ddx, ddy, ddz, tmax)
         else:
-            def closest_fn(ox, oy, oz, dx, dy, dz):
+            def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
                 return closest_hit(sph, tri, pln, ox, oy, oz, dx, dy, dz)
 
             def occl_pre_fn(px_, py_, pz_):
                 return occl_precompute(sph, tri, pln, px_, py_, pz_)
+
+            def occl_light_fn(pre, mask_f, lx, ly, lz, dist):
+                return pre
 
             def occl_test_fn(pre, ddx, ddy, ddz, tmax):
                 return any_hit_pre(pre[0], pre[1], pre[2], pln, tri,
@@ -465,7 +787,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
              tpx, tpy, tpz, rdx, rdy, rdz, alive_f) = c
             alive = alive_f > 0.0
 
-            t, onx, ony, onz, mid = closest_fn(ox, oy, oz, dx, dy, dz)
+            t, onx, ony, onz, mid = closest_fn(ox, oy, oz, dx, dy, dz,
+                                               alive_f)
             hit = t < BIG
             alive2 = alive & hit
 
@@ -509,7 +832,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     mf = jnp.asarray(m, jnp.int32).astype(jnp.float32)
                     sel = mid == mf
                     return tuple(
-                        jnp.where(sel, mtab[m, k], old_v)
+                        jnp.where(sel, mtab[k, m], old_v)
                         for k, old_v in enumerate(carry))
 
                 if loop_mode:
@@ -541,22 +864,34 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 # view dir: toward WORLD ORIGIN (renderer.go:279 parity bug)
                 vx, vy, vz = _norm3(-px, -py, -pz)
                 for li in range(nl):
-                    lx, ly, lz = lit[li, 0], lit[li, 1], lit[li, 2]
-                    lr, lg, lb = lit[li, 3], lit[li, 4], lit[li, 5]
-                    lint = lit[li, 6]
+                    lx, ly, lz = lit[0, li], lit[1, li], lit[2, li]
+                    lr, lg, lb = lit[3, li], lit[4, li], lit[5, li]
+                    lint = lit[6, li]
                     tlx, tly, tlz = lx - px, ly - py, lz - pz
                     dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
                     ldx, ldy, ldz = _norm3(tlx, tly, tlz)
                     live = dist >= 1e-3  # renderer.go:252-254
 
-                    hard = occl_test_fn(occl_pre, ldx, ldy, ldz, dist)
                     cos_t = jnp.maximum(0.0, nx * ldx + ny * ldy + nz * ldz)
+                    # Occlusion only matters where the diffuse/specular
+                    # terms are nonzero (both carry a cos_t factor).
+                    shadow_mask = jnp.where(alive2 & live & (cos_t > 0.0),
+                                            1.0, 0.0)
+                    lctx = occl_light_fn(occl_pre, shadow_mask,
+                                         lx, ly, lz, dist)
+                    hard = occl_test_fn(lctx, ldx, ldy, ldz, dist)
                     if soft:
                         # The 16-sample loop is ~70% of a bounce; sf only
                         # multiplies terms that carry a cos factor, so any
                         # block whose live lanes are all hard-blocked or
                         # back-facing can skip it with exact parity.
                         need = alive2 & ~hard & (cos_t > 0.0)
+                        # Hard-blocked lanes' soft results are discarded
+                        # (sf = where(hard, 0, soft_sf)), so the soft
+                        # walks run with the tighter `need` mask.
+                        lctx_s = occl_light_fn(
+                            occl_pre, jnp.where(need, 1.0, 0.0),
+                            lx, ly, lz, dist)
 
                         def _soft(_):
                             unblocked = jnp.zeros(px.shape)
@@ -571,7 +906,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                 sdx, sdy, sdz = _norm3(ldx + 0.1 * bx,
                                                        ldy + 0.1 * by,
                                                        ldz + 0.1 * bz)
-                                b = occl_test_fn(occl_pre,
+                                b = occl_test_fn(lctx_s,
                                                  sdx, sdy, sdz, dist)
                                 unblocked += jnp.where(b, 0.0, 1.0)
                             return unblocked * np.float32(
@@ -870,14 +1205,23 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
     npl = scene.geometry.pl_point.shape[0]
-    loop_mode = (ns + nt + npl) > UNROLL_PRIM_LIMIT
+    mode = _kernel_mode(scene)
+    loop_mode = mode == "loop"
+    use_bvh = mode == "bvh"
+    n_nodes = scene.accel.node_min.shape[0] if use_bvh else 0
     seed = cfg.seed
     t_min = np.float32(1e-3)
     inv_w = np.float32(1.0 / width)
     inv_h = np.float32(1.0 / height)
 
-    def kernel(sph_ref, tri_ref, pln_ref, cam_ref, pix_ref, samp_ref,
-               px_ref, py_ref, out_ref):
+    def kernel(*refs):
+        if use_bvh:
+            bvh, pidx = refs[0], refs[1]
+            (sph_ref, tri_ref, pln_ref, cam_ref, pix_ref, samp_ref,
+             px_ref, py_ref, out_ref) = refs[2:]
+        else:
+            (sph_ref, tri_ref, pln_ref, cam_ref, pix_ref, samp_ref,
+             px_ref, py_ref, out_ref) = refs
         pix = pix_ref[:]
         samp = samp_ref[:]
         ju, jv, _, _ = _uniform4(pix, samp, rng.Streams.CAMERA_JITTER,
@@ -898,12 +1242,122 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
         eps = np.float32(1e-4)
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
+        if use_bvh:
+            # Packet any-hit walk (node AABBs pre-inflated by the caller
+            # so slab-test rounding stays conservative); a block whose
+            # every lane is already marked exits immediately.
+            ivx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            ivy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            ivz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+            def _sph_row(pid, bf):
+                ocx = ox - sph_ref[0, pid]
+                ocy = oy - sph_ref[1, pid]
+                ocz = oz - sph_ref[2, pid]
+                r = sph_ref[3, pid]
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = half_b * half_b - a * c
+                ok = disc >= -eps
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                r0 = (-half_b - sq) * inv_a
+                r1 = (-half_b + sq) * inv_a
+                hit = ok & ((r0 >= t_min - eps) | (r1 >= t_min - eps))
+                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+            def _tri_row(tj, bf):
+                e1x, e1y, e1z = (tri_ref[3, tj], tri_ref[4, tj],
+                                 tri_ref[5, tj])
+                e2x, e2y, e2z = (tri_ref[6, tj], tri_ref[7, tj],
+                                 tri_ref[8, tj])
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                det = e1x * hx + e1y * hy + e1z * hz
+                good = jnp.abs(det) >= 1e-7
+                f = 1.0 / jnp.where(good, det, 1.0)
+                sx = ox - tri_ref[0, tj]
+                sy = oy - tri_ref[1, tj]
+                sz = oz - tri_ref[2, tj]
+                uu = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                vv = f * (dx * qx + dy * qy + dz * qz)
+                tj2 = f * (e2x * qx + e2y * qy + e2z * qz)
+                hit = (good & (uu >= -eps) & (uu <= 1.0 + eps)
+                       & (vv >= -eps) & (uu + vv <= 1.0 + eps)
+                       & (tj2 >= t_min - eps))
+                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+            def wcond(c):
+                return c[0] < n_nodes
+
+            def wbody(c):
+                cur, bf = c
+                t0x = (bvh[0, cur] - ox) * ivx
+                t1x = (bvh[3, cur] - ox) * ivx
+                t0y = (bvh[1, cur] - oy) * ivy
+                t1y = (bvh[4, cur] - oy) * ivy
+                t0z = (bvh[2, cur] - oz) * ivz
+                t1z = (bvh[5, cur] - oz) * ivz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), t_min - eps))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                              jnp.maximum(t0y, t1y)),
+                                  jnp.maximum(t0z, t1z))
+                want = jnp.where((near <= far) & (bf < 1.0), 1.0, 0.0)
+                boxed = jnp.max(want) > 0.0
+                skip = bvh[6, cur].astype(jnp.int32)
+                first = bvh[7, cur].astype(jnp.int32)
+                cnt = bvh[8, cur].astype(jnp.int32)
+                is_leaf = cnt > 0
+
+                def leafer(bf2):
+                    def lb(j, bf3):
+                        pid = pidx[0, first + j].astype(jnp.int32)
+                        if ns and nt:
+                            return jax.lax.cond(
+                                pid < ns,
+                                lambda b: _sph_row(pid, b),
+                                lambda b: _tri_row(pid - ns, b), bf3)
+                        if ns:
+                            return _sph_row(pid, bf3)
+                        return _tri_row(pid, bf3)
+                    return jax.lax.fori_loop(0, cnt, lb, bf2)
+
+                bf = jax.lax.cond(boxed & is_leaf, leafer,
+                                  lambda b: b, bf)
+                done = jnp.min(bf) >= 1.0
+                nxt = jnp.where(done, n_nodes,
+                                jnp.where(boxed & (~is_leaf), cur + 1,
+                                          skip))
+                return nxt, bf
+
+            bf0 = jnp.zeros(u.shape)
+            _, bf = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), bf0))
+            if npl:
+                def pln_row(j, b):
+                    denom = (dx * pln_ref[3, j] + dy * pln_ref[4, j]
+                             + dz * pln_ref[5, j])
+                    para = denom == 0.0
+                    tj = ((pln_ref[0, j] - ox) * pln_ref[3, j]
+                          + (pln_ref[1, j] - oy) * pln_ref[4, j]
+                          + (pln_ref[2, j] - oz) * pln_ref[5, j]) \
+                        / jnp.where(para, 1.0, denom)
+                    hit = (~para) & (tj >= t_min - eps)
+                    return jnp.maximum(b, jnp.where(hit, 1.0, 0.0))
+                bf = jax.lax.fori_loop(0, npl, pln_row, bf)
+            out_ref[:] = bf
+            return
         if loop_mode:
             def sph_body(j, bf):
-                ocx = ox - sph_ref[j, 0]
-                ocy = oy - sph_ref[j, 1]
-                ocz = oz - sph_ref[j, 2]
-                r = sph_ref[j, 3]
+                ocx = ox - sph_ref[0, j]
+                ocy = oy - sph_ref[1, j]
+                ocz = oz - sph_ref[2, j]
+                r = sph_ref[3, j]
                 half_b = ocx * dx + ocy * dy + ocz * dz
                 c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
                 disc = half_b * half_b - a * c
@@ -915,19 +1369,19 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
                 return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
             def tri_body(j, bf):
-                e1x, e1y, e1z = (tri_ref[j, 3], tri_ref[j, 4],
-                                 tri_ref[j, 5])
-                e2x, e2y, e2z = (tri_ref[j, 6], tri_ref[j, 7],
-                                 tri_ref[j, 8])
+                e1x, e1y, e1z = (tri_ref[3, j], tri_ref[4, j],
+                                 tri_ref[5, j])
+                e2x, e2y, e2z = (tri_ref[6, j], tri_ref[7, j],
+                                 tri_ref[8, j])
                 hx = dy * e2z - dz * e2y
                 hy = dz * e2x - dx * e2z
                 hz = dx * e2y - dy * e2x
                 det = e1x * hx + e1y * hy + e1z * hz
                 good = jnp.abs(det) >= 1e-7
                 f = 1.0 / jnp.where(good, det, 1.0)
-                sx = ox - tri_ref[j, 0]
-                sy = oy - tri_ref[j, 1]
-                sz = oz - tri_ref[j, 2]
+                sx = ox - tri_ref[0, j]
+                sy = oy - tri_ref[1, j]
+                sz = oz - tri_ref[2, j]
                 uu = f * (sx * hx + sy * hy + sz * hz)
                 qx = sy * e1z - sz * e1y
                 qy = sz * e1x - sx * e1z
@@ -940,12 +1394,12 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
                 return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
             def pln_body(j, bf):
-                denom = (dx * pln_ref[j, 3] + dy * pln_ref[j, 4]
-                         + dz * pln_ref[j, 5])
+                denom = (dx * pln_ref[3, j] + dy * pln_ref[4, j]
+                         + dz * pln_ref[5, j])
                 para = denom == 0.0
-                tj = ((pln_ref[j, 0] - ox) * pln_ref[j, 3]
-                      + (pln_ref[j, 1] - oy) * pln_ref[j, 4]
-                      + (pln_ref[j, 2] - oz) * pln_ref[j, 5]) \
+                tj = ((pln_ref[0, j] - ox) * pln_ref[3, j]
+                      + (pln_ref[1, j] - oy) * pln_ref[4, j]
+                      + (pln_ref[2, j] - oz) * pln_ref[5, j]) \
                     / jnp.where(para, 1.0, denom)
                 hit = (~para) & (tj >= t_min - eps)
                 return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
@@ -961,8 +1415,8 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
             return
         blocked = jnp.zeros(u.shape, bool)
         for j in range(ns):
-            cx, cy, cz, r = (sph_ref[j, 0], sph_ref[j, 1], sph_ref[j, 2],
-                             sph_ref[j, 3])
+            cx, cy, cz, r = (sph_ref[0, j], sph_ref[1, j], sph_ref[2, j],
+                             sph_ref[3, j])
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
             half_b = ocx * dx + ocy * dy + ocz * dz
             c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -973,9 +1427,9 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
             r1 = (-half_b + sq) * inv_a
             blocked |= ok & ((r0 >= t_min - eps) | (r1 >= t_min - eps))
         for j in range(nt):
-            v0x, v0y, v0z = tri_ref[j, 0], tri_ref[j, 1], tri_ref[j, 2]
-            e1x, e1y, e1z = tri_ref[j, 3], tri_ref[j, 4], tri_ref[j, 5]
-            e2x, e2y, e2z = tri_ref[j, 6], tri_ref[j, 7], tri_ref[j, 8]
+            v0x, v0y, v0z = tri_ref[0, j], tri_ref[1, j], tri_ref[2, j]
+            e1x, e1y, e1z = tri_ref[3, j], tri_ref[4, j], tri_ref[5, j]
+            e2x, e2y, e2z = tri_ref[6, j], tri_ref[7, j], tri_ref[8, j]
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
@@ -993,12 +1447,12 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
                         & (vv >= -eps) & (uu + vv <= 1.0 + eps)
                         & (tj >= t_min - eps))
         for j in range(npl):
-            denom = (dx * pln_ref[j, 3] + dy * pln_ref[j, 4]
-                     + dz * pln_ref[j, 5])
+            denom = (dx * pln_ref[3, j] + dy * pln_ref[4, j]
+                     + dz * pln_ref[5, j])
             para = jnp.abs(denom) <= 0.0
-            tj = ((pln_ref[j, 0] - ox) * pln_ref[j, 3]
-                  + (pln_ref[j, 1] - oy) * pln_ref[j, 4]
-                  + (pln_ref[j, 2] - oz) * pln_ref[j, 5])                 / jnp.where(para, 1.0, denom)
+            tj = ((pln_ref[0, j] - ox) * pln_ref[3, j]
+                  + (pln_ref[1, j] - oy) * pln_ref[4, j]
+                  + (pln_ref[2, j] - oz) * pln_ref[5, j])                 / jnp.where(para, 1.0, denom)
             blocked |= (~para) & (tj >= t_min - eps)
         out_ref[:] = jnp.where(blocked, 1.0, 0.0)
 
@@ -1009,10 +1463,16 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
     prep = lambda x: jnp.pad(x, (0, pad)).reshape(-1, LANE)
 
     sph, tri, pln, lit, mat = pack_tables(scene)
-    pad1 = lambda a: a if a.shape[0] else jnp.zeros((1,) + a.shape[1:],
-                                                    a.dtype)
+    pad1 = lambda a: a if a.shape[-1] else jnp.zeros(a.shape[:-1] + (1,),
+                                                     a.dtype)
     sph, tri, pln = pad1(sph), pad1(tri), pad1(pln)
     cam = _affine_camera(scene, go_camera)
+
+    bvh_inputs = []
+    if use_bvh:
+        # Inflated boxes keep the mask conservative (see pack_bvh_tables).
+        nodes, pidx_t = pack_bvh_tables(scene.accel, inflate=1e-3)
+        bvh_inputs = [nodes, pidx_t]
 
     rows = n_blocks * block_rows
     table_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1021,43 +1481,75 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[table_spec() for _ in range(4)]
+        in_specs=[table_spec() for _ in range(len(bvh_inputs) + 4)]
         + [lane_spec() for _ in range(4)],
         out_specs=lane_spec(),
         out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
         interpret=interpret,
-    )(sph, tri, pln, cam, prep(pix_id.astype(jnp.uint32)),
+    )(*bvh_inputs, sph, tri, pln, cam, prep(pix_id.astype(jnp.uint32)),
       prep(samp_id.astype(jnp.uint32)),
       prep(px.astype(jnp.float32)), prep(py.astype(jnp.float32)))
     return out.reshape(-1)[:B]
 
 
 def pack_tables(scene):
-    """Scene pytree -> packed f32 tables (spheres, tris, lights, mats)."""
+    """Scene pytree -> packed f32 tables (spheres, tris, lights, mats).
+
+    Tables are TRANSPOSED - (columns, rows), read as tab[col, idx] - not
+    (rows, columns): Mosaic pads every SMEM window row to 512 bytes, so a
+    row-major (N,5) table costs 512*N bytes while the (5,N) layout costs
+    ~4*N per column row. That padding is what capped the kernel at ~96
+    primitives in round 1; transposed, 4096-primitive tables fit easily
+    in the 1 MB SMEM.
+    """
     g, m, l = scene.geometry, scene.materials, scene.lights
     f32 = jnp.float32
     sph = jnp.concatenate([
         g.sph_center.astype(f32),
         g.sph_radius[:, None].astype(f32),
-        g.sph_mat[:, None].astype(f32)], axis=1)  # (Ns,5)
+        g.sph_mat[:, None].astype(f32)], axis=1).T  # (5,Ns)
     e1 = g.tri_v1 - g.tri_v0
     e2 = g.tri_v2 - g.tri_v0
     tri = jnp.concatenate([
         g.tri_v0.astype(f32), e1.astype(f32), e2.astype(f32),
         g.tri_normal.astype(f32),
-        g.tri_mat[:, None].astype(f32)], axis=1)  # (Nt,13)
+        g.tri_mat[:, None].astype(f32)], axis=1).T  # (13,Nt)
     pln = jnp.concatenate([
         g.pl_point.astype(f32), g.pl_normal.astype(f32),
-        g.pl_mat[:, None].astype(f32)], axis=1)  # (Np,7)
+        g.pl_mat[:, None].astype(f32)], axis=1).T  # (7,Np)
     lit = jnp.concatenate([
         l.position.astype(f32), l.color.astype(f32),
-        l.intensity[:, None].astype(f32)], axis=1)  # (L,7)
+        l.intensity[:, None].astype(f32)], axis=1).T  # (7,L)
     mat = jnp.concatenate([
         m.kind[:, None].astype(f32), m.albedo.astype(f32),
         m.roughness[:, None].astype(f32), m.metallic[:, None].astype(f32),
         m.specular[:, None].astype(f32), m.ior[:, None].astype(f32),
-        m.emit.astype(f32), m.eff_albedo.astype(f32)], axis=1)  # (M,14)
+        m.emit.astype(f32), m.eff_albedo.astype(f32)], axis=1).T  # (14,M)
     return sph, tri, pln, lit, mat
+
+
+def pack_bvh_tables(accel, inflate: float = 0.0):
+    """FlatBVH -> (nodes (N,9) f32, prim_idx (P,1) f32) SMEM tables.
+
+    Node row: [min.xyz, max.xyz, skip, first, count] - the int fields are
+    exact in f32 up to 2^24 nodes. ``inflate`` grows each AABB by
+    (inflate * extent + inflate) per side; the conservative primary-hit
+    mask uses this so float rounding in the slab test can never exclude a
+    lane the trace kernel would hit.
+    """
+    nmin = jnp.asarray(accel.node_min, jnp.float32)
+    nmax = jnp.asarray(accel.node_max, jnp.float32)
+    if inflate > 0.0:
+        pad = inflate * (nmax - nmin) + inflate
+        nmin = nmin - pad
+        nmax = nmax + pad
+    nodes = jnp.concatenate([
+        nmin, nmax,
+        accel.node_skip[:, None].astype(jnp.float32),
+        accel.node_first[:, None].astype(jnp.float32),
+        accel.node_count[:, None].astype(jnp.float32)], axis=1).T  # (9,N)
+    pidx = accel.prim_index[None, :].astype(jnp.float32)  # (1,P)
+    return nodes, pidx
 
 
 def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
@@ -1114,16 +1606,26 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
              + [al.reshape(-1, LANE)])
 
     sph, tri, pln, lit, mat = pack_tables(scene)
-    # Mosaic rejects 0-row operands; pad empty tables to one (never-read)
-    # row - the primitive loops are unrolled over the *static* counts.
-    pad1 = lambda a: a if a.shape[0] else jnp.zeros((1,) + a.shape[1:],
-                                                    a.dtype)
+    # Mosaic rejects 0-length operands; pad empty tables to one
+    # (never-read) column - primitive loops run over the *static* counts.
+    pad1 = lambda a: a if a.shape[-1] else jnp.zeros(a.shape[:-1] + (1,),
+                                                     a.dtype)
     sph, tri, pln, lit, mat = (pad1(sph), pad1(tri), pad1(pln), pad1(lit),
                                pad1(mat))
 
+    mode = _kernel_mode(scene)
+    bvh_inputs = []
+    n_nodes = 0
+    if mode == "bvh":
+        nodes, pidx = pack_bvh_tables(scene.accel)
+        n_nodes = nodes.shape[1]  # (9, N) transposed layout
+        bvh_inputs = [nodes, pidx]
+
     kernel = _make_kernel(ns, nt, nl, nm, npl, cfg,
                           start_bounce=start_bounce,
-                          end_bounce=end_bounce, return_state=return_state)
+                          end_bounce=end_bounce,
+                          return_state=return_state,
+                          mode=mode, n_nodes=n_nodes)
 
     rows = n_blocks * block_rows
     n_out = 13 if return_state else 3
@@ -1134,13 +1636,13 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[table_spec() for _ in range(5)]
+        in_specs=[table_spec() for _ in range(len(bvh_inputs) + 5)]
         + [lane_spec() for _ in range(12)],
         out_specs=[lane_spec() for _ in range(n_out)],
         out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                    for _ in range(n_out)],
         interpret=interpret,
-    )(sph, tri, pln, lit, mat, pix, samp, *comps)
+    )(*bvh_inputs, sph, tri, pln, lit, mat, pix, samp, *comps)
 
     rad = jnp.stack([c.reshape(-1) for c in out[:3]], axis=-1)[:B]
     if not return_state:

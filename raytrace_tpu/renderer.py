@@ -324,6 +324,31 @@ def _pad_bucket(k: int, quantum: int) -> int:
     return quantum * (1 << (blocks - 1).bit_length())
 
 
+# Deferred capacity flags from assume_capacity frames: (key, k_dev, k_pad).
+_PENDING_CHECKS: list = []
+
+
+def flush_capacity_checks() -> int:
+    """Sync the deferred per-frame capacity flags from assume_capacity
+    renders and raise if any frame overflowed its speculative capacity
+    (i.e. silently dropped pixels because the scene changed).
+
+    Callers batching device-resident frames (bench.py) call this once per
+    batch: one host sync amortized over the batch instead of one per
+    frame. Returns the number of frames validated."""
+    global _PENDING_CHECKS
+    pending, _PENDING_CHECKS = _PENDING_CHECKS, []
+    for key, k_dev, k_pad in pending:
+        k = int(k_dev)
+        if k > k_pad:
+            _KPAD_CACHE.pop(key, None)  # force revalidation next frame
+            raise RuntimeError(
+                f"assume_capacity render dropped pixels: hit-pixel count "
+                f"{k} exceeded cached capacity {k_pad}; the scene changed "
+                f"- re-render without assume_capacity")
+    return len(pending)
+
+
 def render_wavefront(scene, *, width: int, height: int, samples: int,
                      cfg: trace_mod.TraceConfig, go_camera: bool = True,
                      block_rows: int = 8, as_numpy: bool = True,
@@ -351,10 +376,16 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
             samples=samples, cfg=cfg, go_camera=go_camera,
             block_rows=block_rows)
         if assume_capacity:
-            # Caller guarantees the scene is unchanged since a validated
-            # render: skip the capacity-check sync entirely so back-to-back
-            # frames pipeline with no host round-trip (per-call RPC latency
-            # dominates on a tunneled TPU; it's ~us on local hardware).
+            # Caller asserts the scene is unchanged since a validated
+            # render: skip the capacity-check sync so back-to-back frames
+            # pipeline with no host round-trip (per-call RPC latency
+            # dominates on a tunneled TPU). The device-side flag is still
+            # RECORDED - callers validate a whole batch with one sync via
+            # flush_capacity_checks(), so a stale capacity can no longer
+            # drop pixels silently.
+            _PENDING_CHECKS.append((cache_key, k_dev, k_pad))
+            if len(_PENDING_CHECKS) > 1024:  # backstop: force validation
+                flush_capacity_checks()
             return np.asarray(img) if as_numpy else img
         k_px = int(k_dev)  # scalar sync; the image stays on device
         want = min(_pad_bucket(max(k_px, 1), quantum), width * height)

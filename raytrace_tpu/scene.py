@@ -207,13 +207,23 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     sph_count = 0
     mesh_count = 0
 
+    mat_key_index: Dict[tuple, int] = {}
+
     def add_material(mdata) -> int:
         # go_parity: extended kinds (subsurface/anisotropic/clearcoat/
         # sheen/emission) degrade to lambertian, exactly the Go loader's
-        # unknown-type fallback (scene.go:144-147).
-        mat_rows.append(mat_mod.material_row(
-            mdata or {"type": "lambertian"}, extended=not go_parity))
-        return len(mat_rows) - 1
+        # unknown-type fallback (scene.go:144-147). Identical materials
+        # are deduplicated (pure table compression: per-object behavior
+        # is unchanged; the Go renderer never compares material identity).
+        row = mat_mod.material_row(
+            mdata or {"type": "lambertian"}, extended=not go_parity)
+        key = mat_mod.row_key(row)
+        idx = mat_key_index.get(key)
+        if idx is None:
+            idx = len(mat_rows)
+            mat_rows.append(row)
+            mat_key_index[key] = idx
+        return idx
 
     def add_tris(tris, mid):
         for v0, v1, v2 in tris:

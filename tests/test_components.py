@@ -283,6 +283,19 @@ def test_benchmark_suite_runs():
     assert rep["results"][0]["samples"] == 1
 
 
+def test_scaling_benchmark_runs():
+    """scaling_benchmark produces a (shapes, times, efficiency) record on
+    the virtual CPU mesh (the committed numbers in BENCHMARKS.md come from
+    the same function at full size)."""
+    from raytrace_tpu.bench.suite import scaling_benchmark
+    out = scaling_benchmark(width=32, height=24, samples=1,
+                            mesh_shapes=(1, 2))
+    assert out["shapes"] == [1, 2]
+    assert len(out["times"]) == 2 and all(t > 0 for t in out["times"])
+    assert len(out["efficiency"]) == 2
+    assert abs(out["efficiency"][0] - 1.0) < 1e-9
+
+
 # --- scene-config effects wiring -------------------------------------------
 
 def test_render_honors_config_blocks(simple_scene_dict):
