@@ -1,0 +1,93 @@
+"""Large-scene TPU benchmark: the reference's 1000-sphere ring workload.
+
+The reference's benchmark suite builds ring scenes up to 1000 spheres
+(internal/benchmarking/comprehensive_benchmark.go:163-185;
+cmd/optimization_demo/main.go:78-135) but its BVH was never wired into
+rendering, so those scenes ran the O(n) hitWorld scan. Here the same
+scene family runs the packet-BVH Pallas megakernel (scene tables in
+SMEM, skip-pointer walk) and is compared against the jnp+BVH engine.
+
+Usage:  python examples/bench_large_scene.py [n_spheres ...]
+"""
+
+import os as _os0
+import sys as _sys0
+
+# Stable Pallas cache keys (see bench.py).
+if _os0.environ.get("PYTHONHASHSEED") != "0":
+    _os0.environ["PYTHONHASHSEED"] = "0"
+    _os0.execv(_sys0.executable, [_sys0.executable] + _sys0.argv)
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+import raytrace_tpu as rt
+from raytrace_tpu import renderer as renderer_mod
+from raytrace_tpu.bench.suite import ring_scene_dict
+from raytrace_tpu.ops import megakernel
+
+W, H, SPP, DEPTH = 800, 600, 100, 50
+
+
+def measure(scene, engine, batch=8, reps=3):
+    r = rt.Renderer()
+    r.engine = engine
+    r.set_samples(SPP)
+    r.set_max_depth(DEPTH)
+    cfg = r.trace_config()
+    t0 = time.perf_counter()
+    img = r.render_linear(scene, W, H)
+    compile_s = time.perf_counter() - t0
+    assert float(np.asarray(img).max()) > 0.0
+    kw = dict(width=W, height=H, samples=SPP, cfg=cfg)
+    if engine == "pallas":
+        frame = lambda: renderer_mod.render_wavefront(
+            scene, as_numpy=False, assume_capacity=True, **kw)
+    else:
+        bh = renderer_mod.pick_band_height(W, H, SPP)
+
+        def frame():
+            bands = [renderer_mod.render_band(
+                scene, jnp.int32(y0), width=W, height=H, band_h=bh,
+                samples=SPP, cfg=cfg) for y0 in range(0, H, bh)]
+            return jnp.concatenate(bands, axis=0)[:H]
+    float(jnp.sum(frame()))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [frame() for _ in range(batch)]
+        float(jnp.sum(outs[-1]))
+        best = min(best, (time.perf_counter() - t0) / batch)
+    return best, compile_s, img
+
+
+def main():
+    ns = [int(a) for a in sys.argv[1:]] or [250, 1000]
+    for n in ns:
+        scene, _ = rt.scene_from_dict(ring_scene_dict(n_spheres=n))
+        nprim = int(scene.geometry.sph_center.shape[0])
+        assert scene.accel is not None, "BVH should auto-attach"
+        mode = megakernel._kernel_mode(scene)
+        print(f"--- ring n={n} ({nprim} prims, kernel mode={mode}) ---",
+              flush=True)
+        best, compile_s, img_p = measure(scene, "pallas")
+        rps = W * H * SPP / best
+        print(f"pallas: {best*1e3:8.1f} ms/frame  {rps:,.0f} rays/s  "
+              f"(compile {compile_s:.0f}s)", flush=True)
+        best_j, compile_j, img_j = measure(scene, "jnp", batch=2, reps=2)
+        rps_j = W * H * SPP / best_j
+        print(f"jnp+bvh: {best_j*1e3:7.1f} ms/frame  {rps_j:,.0f} rays/s  "
+              f"(compile {compile_j:.0f}s)", flush=True)
+        err = float(np.max(np.abs(np.asarray(img_p) - np.asarray(img_j))))
+        print(f"max |pallas - jnp| = {err:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

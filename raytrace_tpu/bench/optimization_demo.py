@@ -84,6 +84,19 @@ def demo_spatial(n_spheres: int = 1000, n_rays: int = 4096) -> dict:
     print(f"naive closest-hit: {naive_s * 1e3:.2f} ms; "
           f"BVH: {bvh_s * 1e3:.2f} ms "
           f"({naive_s / max(bvh_s, 1e-9):.1f}x)")
+
+    # Host-side octree/KD ray traversal (spatial_acceleration.go:141-300
+    # made to work): mean candidate count per ray vs the n_spheres scan.
+    sub = min(64, n_rays)
+    t0 = time.perf_counter()
+    oc_cands = [len(octree.query_ray(o[i], d[i])) for i in range(sub)]
+    oc_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    kd_cands = [len(kd.query_ray(o[i], d[i])) for i in range(sub)]
+    kd_s = time.perf_counter() - t0
+    print(f"octree ray query: {np.mean(oc_cands):.1f} candidates/ray "
+          f"(vs {n_spheres} naive), {oc_s / sub * 1e3:.2f} ms/ray; "
+          f"kd: {np.mean(kd_cands):.1f}, {kd_s / sub * 1e3:.2f} ms/ray")
     return {"bvh_build_seconds": bvh_build_s, "naive_seconds": naive_s,
             "bvh_seconds": bvh_s}
 

@@ -432,6 +432,19 @@ def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
     return blocked
 
 
+def _ray_aabb_host(o: np.ndarray, d: np.ndarray, lo, hi,
+                   t_min: float, t_max: float) -> bool:
+    """Host-side scalar slab test (the AABB.Hit the reference's
+    spatial_acceleration.go calls but never defined - SURVEY §2.3)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / np.where(d == 0.0, 1e-300, d)
+    t0 = (np.asarray(lo, np.float64) - o) * inv
+    t1 = (np.asarray(hi, np.float64) - o) * inv
+    near = max(float(np.minimum(t0, t1).max()), t_min)
+    far = min(float(np.maximum(t0, t1).min()), t_max)
+    return near <= far
+
+
 # ---------------------------------------------------------------------------
 # Octree (correct child-center math, cf. spatial_acceleration.go:115-119)
 # ---------------------------------------------------------------------------
@@ -526,6 +539,63 @@ class Octree:
         rec(self.root)
         return sorted(out)
 
+    def query_ray(self, origin, direction, t_min: float = 1e-3,
+                  t_max: float = float(_BIG)) -> List[int]:
+        """Object indices whose AABB the ray hits within [t_min, t_max].
+
+        The working form of Octree.Hit's descent
+        (spatial_acceleration.go:141-171: gate on the node cube, test own
+        objects, recurse children): every object lives at a node whose
+        cube contains its AABB, so pruning by cube-hit is exact.
+        """
+        o = np.asarray(origin, np.float64)
+        d = np.asarray(direction, np.float64)
+        out: List[int] = []
+
+        def rec(node: OctreeNode):
+            if not _ray_aabb_host(o, d, node.center - node.half,
+                                  node.center + node.half, t_min, t_max):
+                return
+            for i in node.indices:
+                if _ray_aabb_host(o, d, self.lo[i], self.hi[i],
+                                  t_min, t_max):
+                    out.append(i)
+            if node.children:
+                for ch in node.children:
+                    rec(ch)
+
+        rec(self.root)
+        return sorted(out)
+
+    def closest_hit(self, origin, direction, hit_t,
+                    t_min: float = 1e-3,
+                    t_max: float = float(_BIG)) -> Tuple[float, int]:
+        """Closest hit via pruned descent; (t, index) or (t_max-ish, -1).
+
+        ``hit_t(i, t_min, t_max) -> float`` returns the primitive hit
+        distance or +inf. Mirrors Octree.Hit's narrowing closestT
+        (spatial_acceleration.go:150-168) but prunes child cubes against
+        the CURRENT best t instead of rescanning them all.
+        """
+        o = np.asarray(origin, np.float64)
+        d = np.asarray(direction, np.float64)
+        best = [float(t_max), -1]
+
+        def rec(node: OctreeNode):
+            if not _ray_aabb_host(o, d, node.center - node.half,
+                                  node.center + node.half, t_min, best[0]):
+                return
+            for i in node.indices:
+                t = hit_t(i, t_min, best[0])
+                if t_min <= t < best[0]:
+                    best[0], best[1] = float(t), i
+            if node.children:
+                for ch in node.children:
+                    rec(ch)
+
+        rec(self.root)
+        return (best[0], best[1]) if best[1] >= 0 else (float(_BIG), -1)
+
     def node_count(self) -> int:
         n = 0
         stack = [self.root]
@@ -548,6 +618,13 @@ class KDNode:
     indices: List[int]
     left: Optional["KDNode"] = None
     right: Optional["KDNode"] = None
+    # Union of contained objects' AABBs (the Go KDTree's Box field,
+    # spatial_acceleration.go:173-179). Gating traversal on this instead
+    # of plane-interval clipping alone fixes the reference's straddler
+    # miss: its centroid partition puts an object wholly on one side even
+    # when its extent crosses the split plane.
+    box_lo: Optional[np.ndarray] = None
+    box_hi: Optional[np.ndarray] = None
 
 
 class KDTree:
@@ -566,18 +643,21 @@ class KDTree:
     def _build(self, idx: List[int], depth: int) -> Optional[KDNode]:
         if not idx:
             return None
+        blo = self.lo[idx].min(axis=0)
+        bhi = self.hi[idx].max(axis=0)
         axis = depth % 3
         if len(idx) <= self.leaf_size or depth >= self.max_depth:
-            return KDNode(axis, 0.0, idx)
+            return KDNode(axis, 0.0, idx, box_lo=blo, box_hi=bhi)
         vals = self.centers[idx, axis]
         split = float((vals.min() + vals.max()) / 2.0)  # midpoint
         left = [i for i in idx if self.centers[i, axis] < split]
         right = [i for i in idx if self.centers[i, axis] >= split]
         if not left or not right:  # degenerate: leaf
-            return KDNode(axis, split, idx)
+            return KDNode(axis, split, idx, box_lo=blo, box_hi=bhi)
         return KDNode(axis, split, [],
                       self._build(left, depth + 1),
-                      self._build(right, depth + 1))
+                      self._build(right, depth + 1),
+                      box_lo=blo, box_hi=bhi)
 
     def query_range(self, lo, hi) -> List[int]:
         """Objects whose AABB overlaps [lo, hi]."""
@@ -602,6 +682,75 @@ class KDTree:
 
         rec(self.root)
         return sorted(out)
+
+    def _ordered_children(self, node: KDNode, o: np.ndarray,
+                          d: np.ndarray):
+        """(near, far) child order for a ray (KDTree.Hit's rayDir>0 swap,
+        spatial_acceleration.go:260-283)."""
+        if d[node.axis] > 0 or (d[node.axis] == 0
+                                and o[node.axis] < node.split):
+            return node.left, node.right
+        return node.right, node.left
+
+    def query_ray(self, origin, direction, t_min: float = 1e-3,
+                  t_max: float = float(_BIG)) -> List[int]:
+        """Object indices whose AABB the ray hits within [t_min, t_max].
+
+        Near/far ordered descent gated on per-node boxes - the working
+        form of KDTree.Hit (spatial_acceleration.go:244-300, which also
+        nil-panics on one-sided nodes and drops all but the first object
+        of a multi-object leaf)."""
+        o = np.asarray(origin, np.float64)
+        d = np.asarray(direction, np.float64)
+        out: List[int] = []
+
+        def rec(node: Optional[KDNode]):
+            if node is None or not _ray_aabb_host(
+                    o, d, node.box_lo, node.box_hi, t_min, t_max):
+                return
+            if node.left is None and node.right is None:
+                for i in node.indices:
+                    if _ray_aabb_host(o, d, self.lo[i], self.hi[i],
+                                      t_min, t_max):
+                        out.append(i)
+                return
+            near, far = self._ordered_children(node, o, d)
+            rec(near)
+            rec(far)
+
+        rec(self.root)
+        return sorted(out)
+
+    def closest_hit(self, origin, direction, hit_t,
+                    t_min: float = 1e-3,
+                    t_max: float = float(_BIG)) -> Tuple[float, int]:
+        """Closest hit via near/far ordered descent; (t, index) or
+        (BIG, -1).
+
+        ``hit_t(i, t_min, t_max) -> float`` returns the primitive hit
+        distance or +inf. Visiting the near child first lets the far
+        child's box test prune against an already-found closer t - the
+        early-exit the reference's ordered traversal was reaching for."""
+        o = np.asarray(origin, np.float64)
+        d = np.asarray(direction, np.float64)
+        best = [float(t_max), -1]
+
+        def rec(node: Optional[KDNode]):
+            if node is None or not _ray_aabb_host(
+                    o, d, node.box_lo, node.box_hi, t_min, best[0]):
+                return
+            if node.left is None and node.right is None:
+                for i in node.indices:
+                    t = hit_t(i, t_min, best[0])
+                    if t_min <= t < best[0]:
+                        best[0], best[1] = float(t), i
+                return
+            near, far = self._ordered_children(node, o, d)
+            rec(near)
+            rec(far)
+
+        rec(self.root)
+        return (best[0], best[1]) if best[1] >= 0 else (float(_BIG), -1)
 
     def depth(self) -> int:
         def rec(node, d):

@@ -155,6 +155,59 @@ def test_octree_and_kdtree_queries(sphere_cloud):
     assert got == ref
 
 
+def test_octree_and_kdtree_ray_query(sphere_cloud):
+    """query_ray == brute-force AABB slab sweep, for both structures
+    (the working form of spatial_acceleration.go:141-171 / :244-300)."""
+    centers, radii = sphere_cloud
+    lo = centers - radii[:, None]
+    hi = centers + radii[:, None]
+    oc = bvh_mod.Octree(lo, hi)
+    kd = bvh_mod.KDTree(lo, hi)
+    rng = np.random.default_rng(7)
+    for _ in range(16):
+        o = rng.uniform(-12, 12, 3)
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        ref = sorted(i for i in range(len(lo))
+                     if bvh_mod._ray_aabb_host(o, d, lo[i], hi[i],
+                                               1e-3, 1e9))
+        assert oc.query_ray(o, d, 1e-3, 1e9) == ref
+        assert kd.query_ray(o, d, 1e-3, 1e9) == ref
+
+
+def test_octree_and_kdtree_closest_hit(sphere_cloud):
+    """closest_hit == brute-force min over per-sphere hit distances."""
+    centers, radii = sphere_cloud
+    lo = centers - radii[:, None]
+    hi = centers + radii[:, None]
+    oc = bvh_mod.Octree(lo, hi)
+    kd = bvh_mod.KDTree(lo, hi)
+
+    def hit_t(i, t_min, t_max):
+        t = float(bvh_mod.sphere_hit_t(
+            jnp.asarray(np.float32([0, 0, 20])),
+            jnp.asarray(d32), jnp.asarray(np.float32(centers[i])),
+            jnp.float32(radii[i]), t_min, t_max))
+        return t
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        target = centers[rng.integers(len(centers))]
+        d = target - np.asarray([0.0, 0.0, 20.0])
+        d /= np.linalg.norm(d)
+        d32 = np.float32(d)
+        ts = [hit_t(i, 1e-3, 1e9) for i in range(len(centers))]
+        i_ref = int(np.argmin(ts))
+        t_ref = ts[i_ref]
+        for t_got, i_got in (oc.closest_hit([0, 0, 20], d, hit_t),
+                             kd.closest_hit([0, 0, 20], d, hit_t)):
+            if t_ref >= 1e9:
+                assert i_got == -1
+            else:
+                assert i_got == i_ref
+                np.testing.assert_allclose(t_got, t_ref, rtol=1e-5)
+
+
 # --- atmosphere -------------------------------------------------------------
 
 def test_sky_color_properties():
