@@ -5,7 +5,9 @@ The reference's benchmark suite builds ring scenes up to 1000 spheres
 cmd/optimization_demo/main.go:78-135) but its BVH was never wired into
 rendering, so those scenes ran the O(n) hitWorld scan. Here the same
 scene family runs the packet-BVH Pallas megakernel (scene tables in
-SMEM, skip-pointer walk) and is compared against the jnp+BVH engine.
+SMEM, skip-pointer walk) and is compared against the jnp engine (which
+walks the BVH on CPU but stays brute-force on TPU - gather-walk traversal
+is a net loss there, see intersect.use_accel).
 
 Usage:  python examples/bench_large_scene.py [n_spheres ...]
 """
@@ -83,7 +85,7 @@ def main():
               f"(compile {compile_s:.0f}s)", flush=True)
         best_j, compile_j, img_j = measure(scene, "jnp", batch=2, reps=2)
         rps_j = W * H * SPP / best_j
-        print(f"jnp+bvh: {best_j*1e3:7.1f} ms/frame  {rps_j:,.0f} rays/s  "
+        print(f"jnp:     {best_j*1e3:7.1f} ms/frame  {rps_j:,.0f} rays/s  "
               f"(compile {compile_j:.0f}s)", flush=True)
         err = float(np.max(np.abs(np.asarray(img_p) - np.asarray(img_j))))
         print(f"max |pallas - jnp| = {err:.2e}", flush=True)

@@ -109,6 +109,23 @@ def plane_t(origin, direction, point, normal, t_min, t_max):
     return jnp.where(valid, t, BIG)
 
 
+def use_accel(accel) -> bool:
+    """Should the jnp engine walk this BVH? Only where gathers are cheap.
+
+    The gather-walk traversal (bvh.traverse_*) pays off on CPU. On TPU it
+    is a catastrophe: each lock-step while-loop iteration performs ~6
+    gathers over the whole wavefront, and TPU gathers are slow - measured
+    ~3 s for ONE 640K-lane any-hit walk on v5e (vs ~30 ms for a
+    250-primitive brute-force scan of the same wavefront). Worse, soft
+    shadows run 17 walks per bounce, pushing single-program wall time past
+    the tunneled TPU worker's execution watchdog (~60-90 s), which KILLS
+    the worker process ("TPU worker crashed"). Large scenes on TPU belong
+    to the Pallas packet-BVH megakernel (ops/megakernel.py kernel mode
+    "bvh"); the jnp engine stays brute-force there.
+    """
+    return accel is not None and jax.default_backend() == "cpu"
+
+
 def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG,
                 accel=None) -> Hit:
     """hitWorld (renderer.go:333-346): closest hit across all primitives.
@@ -117,9 +134,11 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG,
     see scene.Scene.accel) the lanes x primitives brute-force scan is
     replaced by a stackless BVH walk - the working form of the traversal
     spatial_acceleration.go:45-69 was meant to give hitWorld. Results are
-    identical (same per-primitive math, closest-t winner).
+    identical (same per-primitive math, closest-t winner). The walk is
+    CPU-only (see use_accel); on TPU the brute-force scan wins and large
+    scenes belong to the Pallas packet-BVH megakernel.
     """
-    if accel is not None:
+    if use_accel(accel):
         return _closest_hit_accel(geom, accel, origin, direction, t_min,
                                   t_max)
     B = origin.shape[:-1]
@@ -233,9 +252,9 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
     record - an any-hit reduce is cheaper than argmin+gathers.
     t_max may be per-lane: shape (B,) or scalar. With ``accel`` the
     sphere/triangle scan becomes an early-exit BVH walk (planes are still
-    tested brute-force - they cannot be bounded).
+    tested brute-force - they cannot be bounded). CPU-only, see use_accel.
     """
-    if accel is not None:
+    if use_accel(accel):
         from .. import bvh as bvh_mod
         blocked = bvh_mod.traverse_any(accel, origin=origin,
                                        direction=direction, geom=geom,

@@ -70,6 +70,20 @@ def test_auto_accel_attach():
         list(range(ns + nt))
 
 
+def test_accel_gate_backend():
+    """The gather-walk traversal is CPU-only: on TPU each lock-step walk
+    iteration is ~6 wavefront-wide gathers (measured ~3 s per 640K-lane
+    any-hit walk on v5e vs ~30 ms brute force), and soft shadows stack 17
+    walks per bounce - long enough to trip the tunneled worker's execution
+    watchdog. intersect.use_accel must refuse the walk off-CPU; large TPU
+    scenes belong to the Pallas packet-BVH kernel."""
+    from unittest import mock
+    assert not intersect.use_accel(None)
+    assert intersect.use_accel(object()) == (jax.default_backend() == "cpu")
+    with mock.patch.object(jax, "default_backend", return_value="tpu"):
+        assert not intersect.use_accel(object())
+
+
 def test_closest_hit_accel_equivalence():
     """BVH closest_hit == brute force on every Hit field (mixed scene,
     wild ray set including rays from inside geometry)."""
