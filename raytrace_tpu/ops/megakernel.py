@@ -65,10 +65,6 @@ def scene_fits_kernel(scene) -> bool:
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
     npl = scene.geometry.pl_point.shape[0]
-    if getattr(scene.materials, "has_advanced", False):
-        # Extended material kinds live only in the jnp engine; the kernel
-        # stays lean for the reference's seven live kinds.
-        return False
     if getattr(scene.materials, "textures", ()):
         # Per-hit procedural textures are evaluated by the jnp engine.
         return False
@@ -139,7 +135,7 @@ def _unit_ball(pix, samp, stream, seed):
 def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                  start_bounce: int = 0, end_bounce=None,
                  return_state: bool = False, mode: str = "unroll",
-                 n_nodes: int = 0):
+                 n_nodes: int = 0, advanced: bool = False):
     """Build the kernel body for a scene shape (all sizes static).
 
     start_bounce/end_bounce bound the loop (RNG streams key off the
@@ -827,6 +823,14 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 mat_carry = (kind, alb_r, alb_g, alb_b, rough, metal,
                              spec, ior, em_r, em_g, em_b, ef_r, ef_g,
                              ef_b)
+                if advanced:
+                    # Extended-kind aux columns (pack_tables rows 14-18):
+                    # aux_vec.xyz, aux_a, aux_b (models/materials.py:84-94).
+                    mat_carry = mat_carry + (jnp.zeros(px.shape),
+                                             jnp.zeros(px.shape),
+                                             jnp.zeros(px.shape),
+                                             jnp.zeros(px.shape),
+                                             jnp.zeros(px.shape))
 
                 def _mat_row(m, carry):
                     mf = jnp.asarray(m, jnp.int32).astype(jnp.float32)
@@ -843,8 +847,23 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 else:
                     for m in range(nm):
                         mat_carry = _mat_row(m, mat_carry)
-                (kind, alb_r, alb_g, alb_b, rough, metal, spec, ior,
-                 em_r, em_g, em_b, ef_r, ef_g, ef_b) = mat_carry
+                if advanced:
+                    (kind, alb_r, alb_g, alb_b, rough, metal, spec, ior,
+                     em_r, em_g, em_b, ef_r, ef_g, ef_b,
+                     avx, avy, avz, aa, ab) = mat_carry
+                    # Directional emission mode modulates emitted light by
+                    # max(n.y, 0) (advanced_materials.go:394-414; mirrors
+                    # trace._bounce_body's is_dir_emit branch).
+                    dir_emit = ((kind == np.float32(mat_mod.EMISSION))
+                                & (aa == np.float32(
+                                    mat_mod.EMISSION_DIRECTIONAL)))
+                    em_sc = jnp.where(dir_emit, jnp.maximum(ny, 0.0), 1.0)
+                    em_r = em_r * em_sc
+                    em_g = em_g * em_sc
+                    em_b = em_b * em_sc
+                else:
+                    (kind, alb_r, alb_g, alb_b, rough, metal, spec, ior,
+                     em_r, em_g, em_b, ef_r, ef_g, ef_b) = mat_carry
 
                 # -- direct lighting (renderer.go:229-297) ---------------------
                 amb = jnp.where(metal > 0.9, 0.05,
@@ -1051,6 +1070,80 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 at_b = jnp.where(is_lam, alb_b, jnp.where(is_met, m_b,
                         jnp.where(is_shy, s_b, jnp.where(is_pm, p_b, alb_b))))
                 did_scatter = kind != np.float32(mat_mod.DIFFUSE_LIGHT)
+
+                if advanced:
+                    # Extended kinds (advanced_materials.go, unreachable in
+                    # Go) - component form of materials.scatter's extended
+                    # section; both engines must stay bit-consistent.
+                    # Subsurface (:212-244): dir = ball*phase, att =
+                    # base * (absorption * radius).
+                    sssx, sssy, sssz = bx * ab, by * ab, bz * ab
+                    ss_r = alb_r * (avx * aa)
+                    ss_g = alb_g * (avy * aa)
+                    ss_b = alb_b * (avz * aa)
+                    # Anisotropic (:246-278): roughness modulated by
+                    # direction . normal.
+                    arough = rough * (1.0 + aa * (avx * nx + avy * ny
+                                                  + avz * nz))
+                    apx, apy, apz = _norm3(refx + bx * arough,
+                                           refy + by * arough,
+                                           refz + bz * arough)
+                    agate = arough > 0.0
+                    anx = jnp.where(agate, apx, refx)
+                    any_ = jnp.where(agate, apy, refy)
+                    anz = jnp.where(agate, apz, refz)
+                    # Clearcoat (:280-330): lambertian base dir; Schlick
+                    # blend of attenuations with the row's own IOR fresnel.
+                    cc_r = alb_r * (1.0 - aa) + fres * aa
+                    cc_g = alb_g * (1.0 - aa) + fres * aa
+                    cc_b = alb_b * (1.0 - aa) + fres * aa
+                    # Sheen (:332-368): tinted sheen color, reflection
+                    # perturbed by sheenRoughness.
+                    spx, spy, spz = _norm3(refx + bx * aa,
+                                           refy + by * aa,
+                                           refz + bz * aa)
+                    sgate = aa > 0.0
+                    snx = jnp.where(sgate, spx, refx)
+                    sny = jnp.where(sgate, spy, refy)
+                    snz = jnp.where(sgate, spz, refz)
+                    sh_r = avx * (1.0 - ab) + alb_r * ab
+                    sh_g = avy * (1.0 - ab) + alb_g * ab
+                    sh_b = avz * (1.0 - ab) + alb_b * ab
+                    # Mirror (:68-109): UNnormalized perturbed reflection;
+                    # scatter returns false when it dips below the surface
+                    # (:88, strict > 0).
+                    mgate = rough > 0.0
+                    mx = jnp.where(mgate, refx + bx * rough, refx)
+                    my = jnp.where(mgate, refy + by * rough, refy)
+                    mz = jnp.where(mgate, refz + bz * rough, refz)
+                    mir_up = (mx * nx + my * ny + mz * nz) > 0.0
+
+                    is_sss = kind == np.float32(mat_mod.SUBSURFACE)
+                    is_ani = kind == np.float32(mat_mod.ANISOTROPIC)
+                    is_cc = kind == np.float32(mat_mod.CLEARCOAT)
+                    is_sh = kind == np.float32(mat_mod.SHEEN)
+                    is_mir = kind == np.float32(mat_mod.MIRROR)
+                    sc_x = jnp.where(is_sss, sssx, jnp.where(is_ani, anx,
+                            jnp.where(is_cc, lamx, jnp.where(is_sh, snx,
+                            jnp.where(is_mir, mx, sc_x)))))
+                    sc_y = jnp.where(is_sss, sssy, jnp.where(is_ani, any_,
+                            jnp.where(is_cc, lamy, jnp.where(is_sh, sny,
+                            jnp.where(is_mir, my, sc_y)))))
+                    sc_z = jnp.where(is_sss, sssz, jnp.where(is_ani, anz,
+                            jnp.where(is_cc, lamz, jnp.where(is_sh, snz,
+                            jnp.where(is_mir, mz, sc_z)))))
+                    at_r = jnp.where(is_sss, ss_r, jnp.where(is_ani, alb_r,
+                            jnp.where(is_cc, cc_r, jnp.where(is_sh, sh_r,
+                            jnp.where(is_mir, alb_r, at_r)))))
+                    at_g = jnp.where(is_sss, ss_g, jnp.where(is_ani, alb_g,
+                            jnp.where(is_cc, cc_g, jnp.where(is_sh, sh_g,
+                            jnp.where(is_mir, alb_g, at_g)))))
+                    at_b = jnp.where(is_sss, ss_b, jnp.where(is_ani, alb_b,
+                            jnp.where(is_cc, cc_b, jnp.where(is_sh, sh_b,
+                            jnp.where(is_mir, alb_b, at_b)))))
+                    did_scatter = (did_scatter
+                                   & (kind != np.float32(mat_mod.EMISSION))
+                                   & (~is_mir | mir_up))
 
                 # -- combine (trace._bounce_body semantics) --------------------
                 w_r = jnp.where(metal > 0.95, 0.85,
@@ -1520,11 +1613,19 @@ def pack_tables(scene):
     lit = jnp.concatenate([
         l.position.astype(f32), l.color.astype(f32),
         l.intensity[:, None].astype(f32)], axis=1).T  # (7,L)
-    mat = jnp.concatenate([
+    mat_cols = [
         m.kind[:, None].astype(f32), m.albedo.astype(f32),
         m.roughness[:, None].astype(f32), m.metallic[:, None].astype(f32),
         m.specular[:, None].astype(f32), m.ior[:, None].astype(f32),
-        m.emit.astype(f32), m.eff_albedo.astype(f32)], axis=1).T  # (14,M)
+        m.emit.astype(f32), m.eff_albedo.astype(f32)]
+    if getattr(m, "has_advanced", False):
+        # Extended-kind aux columns (subsurface/anisotropic/clearcoat/
+        # sheen/emission/mirror params). Appended ONLY for advanced tables
+        # so seven-kind scenes keep their (14,M) shape (and their
+        # compilation-cache entries).
+        mat_cols += [m.aux_vec.astype(f32), m.aux_a[:, None].astype(f32),
+                     m.aux_b[:, None].astype(f32)]
+    mat = jnp.concatenate(mat_cols, axis=1).T  # (14,M) or (19,M)
     return sph, tri, pln, lit, mat
 
 
@@ -1625,7 +1726,9 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
                           start_bounce=start_bounce,
                           end_bounce=end_bounce,
                           return_state=return_state,
-                          mode=mode, n_nodes=n_nodes)
+                          mode=mode, n_nodes=n_nodes,
+                          advanced=getattr(scene.materials, "has_advanced",
+                                           False))
 
     rows = n_blocks * block_rows
     n_out = 13 if return_state else 3

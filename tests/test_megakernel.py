@@ -276,3 +276,47 @@ def test_bvh_mode_kernel_matches_oracle():
     r.engine, r.samples, r.max_depth = "jnp", 1, 3
     ref_img = r.render_linear(s, 8, 6)
     np.testing.assert_allclose(img, ref_img, atol=1e-4)
+
+
+def test_advanced_materials_kernel_matches_oracle():
+    """Extended material kinds (subsurface/anisotropic/clearcoat/sheen/
+    emission/mirror, advanced_materials.go) run IN the Pallas kernel
+    (round-1 exiled them to the jnp engine) and match the oracle."""
+    from raytrace_tpu import scene as scene_mod
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 8], "aspectRatio": 1.33},
+        "objects": [
+            {"type": "sphere", "position": [0, 0, 0], "radius": 1.0,
+             "material": {"type": "sheen", "color": [0.6, 0.3, 0.3],
+                          "sheenColor": [1.0, 0.9, 0.8],
+                          "sheenRoughness": 0.4, "sheenTint": 0.3}},
+            {"type": "sphere", "position": [-2.2, 0, 0], "radius": 0.8,
+             "material": {"type": "clearcoat", "color": [0.2, 0.4, 0.8],
+                          "strength": 0.6, "clearcoatIOR": 1.6}},
+            {"type": "sphere", "position": [2.2, 0, 0], "radius": 0.8,
+             "material": {"type": "mirror", "color": [0.9, 0.9, 0.95],
+                          "roughness": 0.3}},
+            {"type": "sphere", "position": [0, 2.0, 0], "radius": 0.6,
+             "material": {"type": "subsurface", "color": [0.9, 0.5, 0.4],
+                          "absorption": [0.8, 0.9, 1.0],
+                          "scatteringRadius": 0.7, "phaseFunction": 0.5}},
+            {"type": "sphere", "position": [0, -2.0, 0], "radius": 0.6,
+             "material": {"type": "anisotropic", "color": [0.4, 0.7, 0.4],
+                          "direction": [0.0, 1.0, 0.0], "roughness": 0.5,
+                          "anisotropy": 0.8}},
+            {"type": "sphere", "position": [0, 0, -2.5], "radius": 0.7,
+             "material": {"type": "emission", "color": [1.0, 0.8, 0.6],
+                          "intensity": 2.0,
+                          "emissionType": "directional"}},
+        ],
+        "lights": [{"type": "point", "position": [5, 5, 5],
+                    "color": [1, 1, 1], "intensity": 1.0}],
+    })
+    assert s.materials.has_advanced
+    assert mk.scene_fits_kernel(s)
+    o, d, pix, samp = _lanes(s, 12, 8, 1, CFG)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, CFG))
+    out = np.asarray(mk.trace_pallas(s, o, d, pix, samp, CFG,
+                                     interpret=True))
+    assert np.max(ref) > 0.0
+    np.testing.assert_allclose(out, ref, atol=1e-4)
