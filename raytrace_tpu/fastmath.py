@@ -247,8 +247,12 @@ def _hash_to_unit(ix, iy, iz, seed):
         ix.astype(jnp.uint32), iy.astype(jnp.uint32),
         iz.astype(jnp.uint32),
         jnp.full(ix.shape, seed, jnp.uint32))
-    return (a >> np.uint32(8)).astype(jnp.float32) * np.float32(
-        1.0 / (1 << 24))
+    # Route the cast through int32: (u >> 8) < 2^24 fits exactly, the
+    # result is bit-identical, and Mosaic (Pallas TPU) has no direct
+    # uint32->f32 cast - this keeps the noise stack usable inside the
+    # megakernel's texture evaluation.
+    return (a >> np.uint32(8)).astype(jnp.int32).astype(
+        jnp.float32) * np.float32(1.0 / (1 << 24))
 
 
 def _smooth(t):

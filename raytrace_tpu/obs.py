@@ -244,6 +244,11 @@ class Profiler:
 
     def stop_server(self) -> None:
         if self._server is not None:
+            import jax
+            # jax.profiler.stop_server() shuts down the singleton gRPC
+            # profiling server started by start_server (dropping the
+            # reference alone leaves the port bound).
+            jax.profiler.stop_server()
             self._server = None
 
     def get_stats(self) -> Dict:

@@ -126,6 +126,59 @@ def use_accel(accel) -> bool:
     return accel is not None and jax.default_backend() == "cpu"
 
 
+# Brute-force (lanes x primitives) temporaries are chunked along the
+# primitive axis past this count: a 1000-primitive scene over a 2M-lane
+# wavefront would otherwise materialize multi-GB (B,N,3) intermediates
+# (sphere oc, triangle h/s/q) and OOM the chip. lax.scan over
+# <=CHUNK-wide slabs bounds them at B*CHUNK*3 (~1.5 GB at the default
+# band budget) while keeping ONE jit call - band splitting instead would
+# pay the ~30 ms tunnel RPC per band, hundreds of times per frame.
+PRIM_CHUNK = 64
+
+
+def _chunked_min_t(t_fn, n, origin):
+    """Scan t_fn over PRIM_CHUNK-wide primitive slabs; first-min winner.
+
+    t_fn(start) -> (B, PRIM_CHUNK) hit distances for primitives
+    [start, start+PRIM_CHUNK) with out-of-range columns already BIG.
+    Returns (t (B,), idx (B,)) with idx global over [0, n) - identical to
+    argmin over the full (B, n) array (strict < keeps the earliest slab,
+    argmin keeps the earliest column within a slab).
+    """
+    B = origin.shape[:-1]
+    n_chunks = -(-n // PRIM_CHUNK)
+
+    def body(carry, k):
+        t_best, i_best = carry
+        start = k * PRIM_CHUNK
+        t = t_fn(start)  # (B, PRIM_CHUNK)
+        j = jnp.argmin(t, axis=-1)
+        tj = jnp.take_along_axis(t, j[..., None], axis=-1)[..., 0]
+        win = tj < t_best
+        return (jnp.where(win, tj, t_best),
+                jnp.where(win, start + j.astype(jnp.int32), i_best)), None
+
+    init = (jnp.full(B, BIG, origin.dtype), jnp.zeros(B, jnp.int32))
+    (t, idx), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return t, idx
+
+
+def _pad_prims(n, *arrays):
+    """Pad primitive arrays up to a PRIM_CHUNK multiple (slice-safe)."""
+    pad = (-n) % PRIM_CHUNK
+    return [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrays]
+
+
+def _slab(a, start):
+    return jax.lax.dynamic_slice_in_dim(a, start, PRIM_CHUNK, axis=0)
+
+
+def _mask_cols(t, start, n):
+    col = start + jnp.arange(PRIM_CHUNK)
+    return jnp.where(col < n, t, BIG)
+
+
 def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG,
                 accel=None) -> Hit:
     """hitWorld (renderer.go:333-346): closest hit across all primitives.
@@ -145,6 +198,10 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG,
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
     npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+
+    if ns + nt + npl > PRIM_CHUNK:
+        return _closest_hit_chunked(geom, origin, direction, t_min, t_max,
+                                    ns, nt, npl)
 
     ts = []
     if ns:
@@ -168,6 +225,58 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG,
     all_t = jnp.concatenate(ts, axis=-1)  # (B, Ns+Nt)
     idx = jnp.argmin(all_t, axis=-1)  # first minimum wins
     t = jnp.take_along_axis(all_t, idx[..., None], axis=-1)[..., 0]
+    return _hit_from_tidx(geom, origin, direction, t, idx)
+
+
+def _closest_hit_chunked(geom, origin, direction, t_min, t_max,
+                         ns, nt, npl) -> Hit:
+    """Memory-bounded brute force for large scenes: per-type first-min
+    over PRIM_CHUNK slabs, merged with the same tie precedence as the
+    concat+argmin small-scene path ([spheres, triangles, planes], strict
+    < between types, earliest column within a type)."""
+    B = origin.shape[:-1]
+    t = jnp.full(B, BIG, origin.dtype)
+    idx = jnp.zeros(B, jnp.int32)
+
+    if ns:
+        if ns > PRIM_CHUNK:
+            c, r = _pad_prims(ns, geom.sph_center, geom.sph_radius)
+            t_fn = lambda s: _mask_cols(
+                sphere_t(origin, direction, _slab(c, s), _slab(r, s),
+                         t_min, t_max), s, ns)
+            t, idx = _chunked_min_t(t_fn, ns, origin)
+        else:
+            ts = sphere_t(origin, direction, geom.sph_center,
+                          geom.sph_radius, t_min, t_max)
+            idx = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+            t = jnp.take_along_axis(ts, idx[..., None], axis=-1)[..., 0]
+    if nt:
+        edge1 = geom.tri_v1 - geom.tri_v0
+        edge2 = geom.tri_v2 - geom.tri_v0
+        if nt > PRIM_CHUNK:
+            v0, e1, e2 = _pad_prims(nt, geom.tri_v0, edge1, edge2)
+            t_fn = lambda s: _mask_cols(
+                triangle_t(origin, direction, _slab(v0, s), _slab(e1, s),
+                           _slab(e2, s), t_min, t_max), s, nt)
+            t_t, i_t = _chunked_min_t(t_fn, nt, origin)
+        else:
+            ts = triangle_t(origin, direction, geom.tri_v0, edge1, edge2,
+                            t_min, t_max)
+            i_t = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+            t_t = jnp.take_along_axis(ts, i_t[..., None], axis=-1)[..., 0]
+        win = t_t < t
+        t = jnp.where(win, t_t, t)
+        idx = jnp.where(win, ns + i_t, idx)
+    if npl:
+        # Planes are unbounded in number only in theory; scenes carry a
+        # handful - full eval.
+        ts = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
+                     t_min, t_max)
+        i_p = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+        t_p = jnp.take_along_axis(ts, i_p[..., None], axis=-1)[..., 0]
+        win = t_p < t
+        t = jnp.where(win, t_p, t)
+        idx = jnp.where(win, ns + nt + i_p, idx)
     return _hit_from_tidx(geom, origin, direction, t, idx)
 
 
@@ -272,16 +381,42 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
     blocked = jnp.zeros(origin.shape[:-1], bool)
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
+    npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+    chunked = ns + nt + npl > PRIM_CHUNK
+
+    def _scan_any(t_fn, n, blocked):
+        def body(b, k):
+            t = t_fn(k * PRIM_CHUNK)
+            return b | jnp.any(t < BIG, axis=-1), None
+        b, _ = jax.lax.scan(body, blocked,
+                            jnp.arange(-(-n // PRIM_CHUNK)))
+        return b
+
     if ns:
-        t = sphere_t(origin, direction, geom.sph_center, geom.sph_radius,
-                     t_min, tm)
-        blocked |= jnp.any(t < BIG, axis=-1)
+        if chunked and ns > PRIM_CHUNK:
+            c, r = _pad_prims(ns, geom.sph_center, geom.sph_radius)
+            blocked = _scan_any(
+                lambda s: _mask_cols(
+                    sphere_t(origin, direction, _slab(c, s), _slab(r, s),
+                             t_min, tm), s, ns), ns, blocked)
+        else:
+            t = sphere_t(origin, direction, geom.sph_center,
+                         geom.sph_radius, t_min, tm)
+            blocked |= jnp.any(t < BIG, axis=-1)
     if nt:
         edge1 = geom.tri_v1 - geom.tri_v0
         edge2 = geom.tri_v2 - geom.tri_v0
-        t = triangle_t(origin, direction, geom.tri_v0, edge1, edge2, t_min, tm)
-        blocked |= jnp.any(t < BIG, axis=-1)
-    npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+        if chunked and nt > PRIM_CHUNK:
+            v0, e1, e2 = _pad_prims(nt, geom.tri_v0, edge1, edge2)
+            blocked = _scan_any(
+                lambda s: _mask_cols(
+                    triangle_t(origin, direction, _slab(v0, s),
+                               _slab(e1, s), _slab(e2, s), t_min, tm),
+                    s, nt), nt, blocked)
+        else:
+            t = triangle_t(origin, direction, geom.tri_v0, edge1, edge2,
+                           t_min, tm)
+            blocked |= jnp.any(t < BIG, axis=-1)
     if npl:
         t = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
                     t_min, tm)

@@ -65,9 +65,6 @@ def scene_fits_kernel(scene) -> bool:
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
     npl = scene.geometry.pl_point.shape[0]
-    if getattr(scene.materials, "textures", ()):
-        # Per-hit procedural textures are evaluated by the jnp engine.
-        return False
     n = ns + nt + npl
     if n <= MAX_KERNEL_PRIMS:
         return True
@@ -128,6 +125,90 @@ def _unit_ball(pix, samp, stream, seed):
     return r * rho * cos_p, r * rho * sin_p, r * z
 
 
+def _tex_value_comp(tex, px, py, pz):
+    """Component-form, Mosaic-safe texture evaluation.
+
+    Mirrors models/textures.py value() formulas exactly (same lattice
+    noise, same feature points); returns either an (r, g, b) triple
+    (color textures) or a single scalar field (noise/voronoi - the
+    caller scales the base albedo by it, textures.textured_albedo).
+    """
+    from ..models import textures as tex_mod
+    from .. import fastmath as fm
+    if isinstance(tex, tex_mod.CheckerboardTexture):
+        s = np.float32(tex.scale)
+        checker = (jnp.floor(px * s) + jnp.floor(py * s)
+                   + jnp.floor(pz * s))
+        # parity of an integer-valued f32 without jnp.mod (Mosaic):
+        half = checker * 0.5
+        even = (half - jnp.floor(half)) == 0.0
+        c1 = np.asarray(tex.color1, np.float32)
+        c2 = np.asarray(tex.color2, np.float32)
+        return tuple(jnp.where(even, c1[i], c2[i]) for i in range(3))
+    if isinstance(tex, tex_mod.MarbleTexture):
+        s = np.float32(tex.scale)
+        v = jnp.sin(px * s + py * (s * np.float32(0.5))
+                    + pz * (s * np.float32(0.25)))
+        v = (v + 1.0) * 0.5
+        if tex.sharpness != 1.0:
+            # v**sharpness via exp2/log2 (Mosaic has no vector pow);
+            # v == 0 -> 0 (sharpness > 0).
+            z = v <= 0.0
+            v = jnp.where(z, 0.0, jnp.exp2(
+                np.float32(tex.sharpness)
+                * jnp.log2(jnp.where(z, 1.0, v))))
+        b = np.asarray(tex.base_color, np.float32)
+        c = np.asarray(tex.vein_color, np.float32)
+        return tuple(b[i] * (1.0 - v) + c[i] * v for i in range(3))
+    if isinstance(tex, tex_mod.WoodTexture):
+        s = np.float32(tex.scale)
+        ring = jnp.abs(jnp.sin(px * s + py * (s * np.float32(0.5))))
+        t = jnp.where(ring < np.float32(tex.ring_width), 1.0, 0.0)
+        b = np.asarray(tex.base_color, np.float32)
+        c = np.asarray(tex.ring_color, np.float32)
+        return tuple(b[i] * (1.0 - t) + c[i] * t for i in range(3))
+    if isinstance(tex, tex_mod.GradientTexture):
+        d = np.asarray(tex.direction, np.float32)
+        d = d / (np.linalg.norm(d) or 1.0)
+        t = (px * d[0] + py * d[1] + pz * d[2] + 1.0) * 0.5
+        c1 = np.asarray(tex.color1, np.float32)
+        c2 = np.asarray(tex.color2, np.float32)
+        return tuple(c1[i] * (1.0 - t) + c2[i] * t for i in range(3))
+    if isinstance(tex, tex_mod.NoiseTexture):
+        s = np.float32(tex.scale)
+        return fm.fbm_3d(px * s, py * s, pz * s, octaves=tex.octaves,
+                         gain=tex.persistence,
+                         lacunarity=tex.lacunarity,
+                         seed=tex.seed) * np.float32(tex.amplitude)
+    if isinstance(tex, tex_mod.PerlinNoiseTexture):
+        s = np.float32(tex.scale)
+        return fm.fbm_3d(px * s, py * s, pz * s, octaves=tex.octaves,
+                         gain=tex.persistence,
+                         lacunarity=tex.lacunarity, seed=tex.seed)
+    if isinstance(tex, tex_mod.VoronoiTexture):
+        s = np.float32(tex.scale)
+        # Feature points are a deterministic function of (seed, index);
+        # evaluate them eagerly even when tracing (the kernel unrolls
+        # over them as constants).
+        with jax.ensure_compile_time_eval():
+            feats = np.asarray(tex._feature_points(), np.float32)  # (P,3)
+        best = None
+        for j in range(feats.shape[0]):
+            ddx = px * s - feats[j, 0]
+            ddy = py * s - feats[j, 1]
+            ddz = pz * s - feats[j, 2]
+            if tex.distance_type == tex_mod.MANHATTAN:
+                dj = jnp.abs(ddx) + jnp.abs(ddy) + jnp.abs(ddz)
+            elif tex.distance_type == tex_mod.CHEBYSHEV:
+                dj = jnp.maximum(jnp.abs(ddx),
+                                 jnp.maximum(jnp.abs(ddy), jnp.abs(ddz)))
+            else:
+                dj = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+            best = dj if best is None else jnp.minimum(best, dj)
+        return best
+    raise TypeError(f"unsupported texture for the kernel: {tex!r}")
+
+
 # ---------------------------------------------------------------------------
 # Kernel factory
 # ---------------------------------------------------------------------------
@@ -135,7 +216,8 @@ def _unit_ball(pix, samp, stream, seed):
 def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                  start_bounce: int = 0, end_bounce=None,
                  return_state: bool = False, mode: str = "unroll",
-                 n_nodes: int = 0, advanced: bool = False):
+                 n_nodes: int = 0, advanced: bool = False,
+                 textures: tuple = ()):
     """Build the kernel body for a scene shape (all sizes static).
 
     start_bounce/end_bounce bound the loop (RNG streams key off the
@@ -864,6 +946,24 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 else:
                     (kind, alb_r, alb_g, alb_b, rough, metal, spec, ior,
                      em_r, em_g, em_b, ef_r, ef_g, ef_b) = mat_carry
+
+                # -- procedural texture -> albedo at the hit point -------------
+                # (trace.py's textured_albedo integration, in-kernel; the
+                # texture list is static so each binding unrolls to pure
+                # VPU arithmetic over the lane block.)
+                for t_mi, t_tex in textures:
+                    t_sel = mid == np.float32(t_mi)
+                    tv = _tex_value_comp(t_tex, px, py, pz)
+                    if isinstance(tv, tuple):
+                        t_r, t_g, t_b = tv
+                    else:  # scalar field scales the base albedo
+                        t_r, t_g, t_b = alb_r * tv, alb_g * tv, alb_b * tv
+                    alb_r = jnp.where(t_sel, t_r, alb_r)
+                    alb_g = jnp.where(t_sel, t_g, alb_g)
+                    alb_b = jnp.where(t_sel, t_b, alb_b)
+                    ef_r = jnp.where(t_sel, t_r, ef_r)
+                    ef_g = jnp.where(t_sel, t_g, ef_g)
+                    ef_b = jnp.where(t_sel, t_b, ef_b)
 
                 # -- direct lighting (renderer.go:229-297) ---------------------
                 amb = jnp.where(metal > 0.9, 0.05,
@@ -1728,7 +1828,9 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
                           return_state=return_state,
                           mode=mode, n_nodes=n_nodes,
                           advanced=getattr(scene.materials, "has_advanced",
-                                           False))
+                                           False),
+                          textures=tuple(getattr(scene.materials,
+                                                 "textures", ()) or ()))
 
     rows = n_blocks * block_rows
     n_out = 13 if return_state else 3

@@ -226,3 +226,37 @@ def test_traverse_visits_fraction():
     # lockstep bound: even the WORST lane's walk is well under visiting
     # every node (ring scene: expect O(depth + few leaves))
     assert steps < n_nodes // 2, (steps, n_nodes)
+
+
+def test_chunked_brute_force_equivalence():
+    """Large scenes take the PRIM_CHUNK-scanned brute force (memory-
+    bounded, one jit call); it must match the one-shot concat+argmin path
+    EXACTLY - same winners, same ties, same any-hit verdicts."""
+    data = _ring_scene_dict(500)
+    scene, _ = scene_mod.from_dict(data, build_accel=False)
+    origin, direction = _rand_rays(2048, seed=11)
+    assert (scene.geometry.sph_center.shape[0] > intersect.PRIM_CHUNK)
+    chunked = intersect.closest_hit(scene.geometry, origin, direction)
+    orig = intersect.PRIM_CHUNK
+    intersect.PRIM_CHUNK = 1 << 20  # force the one-shot path
+    try:
+        full = intersect.closest_hit(scene.geometry, origin, direction)
+        r = np.random.default_rng(13)
+        t_max = jnp.asarray(r.uniform(0.5, 30.0, (2048,)), jnp.float32)
+        full_any = intersect.any_hit(scene.geometry, origin, direction,
+                                     1e-3, t_max)
+    finally:
+        intersect.PRIM_CHUNK = orig
+    chunked_any = intersect.any_hit(scene.geometry, origin, direction,
+                                    1e-3, t_max)
+    np.testing.assert_array_equal(np.asarray(chunked.hit),
+                                  np.asarray(full.hit))
+    np.testing.assert_array_equal(np.asarray(chunked.mat_id),
+                                  np.asarray(full.mat_id))
+    # rtol 3e-4: same formulas, but the scanned and one-shot XLA programs
+    # fuse/FMA the quadratic differently (cf. the 2e-5..1e-3 tolerances on
+    # the BVH-vs-brute tests above; winners and verdicts stay identical).
+    np.testing.assert_allclose(np.asarray(chunked.t),
+                               np.asarray(full.t), rtol=3e-4)
+    np.testing.assert_array_equal(np.asarray(chunked_any),
+                                  np.asarray(full_any))

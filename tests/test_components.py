@@ -365,3 +365,15 @@ def test_render_honors_config_blocks(simple_scene_dict):
     assert with_fx.shape == plain.shape
     # sunset sky fills the miss pixels -> image brightens
     assert with_fx.astype(float).mean() > plain.astype(float).mean()
+
+
+def test_profiler_server_start_stop():
+    """start_server binds the profiling endpoint; stop_server actually
+    shuts it down (round-1 review: dropping the reference left the port
+    bound)."""
+    from raytrace_tpu import obs
+    p = obs.Profiler()
+    p.start_server(port=18764)
+    assert p._server is not None
+    p.stop_server()
+    assert p._server is None

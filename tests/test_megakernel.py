@@ -320,3 +320,42 @@ def test_advanced_materials_kernel_matches_oracle():
                                      interpret=True))
     assert np.max(ref) > 0.0
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_textured_kernel_matches_oracle():
+    """Procedural textures evaluate IN the Pallas kernel (round-1 exiled
+    textured scenes to the jnp engine): all seven types, kernel == oracle."""
+    mats = [
+        {"type": "lambertian", "color": [0.8, 0.7, 0.6],
+         "texture": {"type": "marble", "scale": 2.0, "sharpness": 3.0}},
+        {"type": "lambertian", "color": [0.7, 0.7, 0.7],
+         "texture": {"type": "checkerboard", "scale": 1.5}},
+        {"type": "lambertian", "color": [0.9, 0.8, 0.6],
+         "texture": {"type": "wood", "scale": 3.0}},
+        {"type": "metal", "color": [0.8, 0.8, 0.9], "roughness": 0.2,
+         "texture": {"type": "gradient", "color1": [0.1, 0.1, 0.4],
+                     "color2": [0.9, 0.9, 1.0]}},
+        {"type": "lambertian", "color": [0.9, 0.4, 0.3],
+         "texture": {"type": "noise", "scale": 2.0, "octaves": 3}},
+        {"type": "lambertian", "color": [0.3, 0.8, 0.4],
+         "texture": {"type": "perlin", "scale": 1.5, "octaves": 2}},
+        {"type": "lambertian", "color": [0.5, 0.5, 0.9],
+         "texture": {"type": "voronoi", "scale": 1.2, "points": 8,
+                     "distance": "manhattan"}},
+    ]
+    objs = [{"type": "sphere",
+             "position": [2.2 * (i % 4) - 3.3, 2.2 * (i // 4) - 1.1, 0],
+             "radius": 1.0, "material": m} for i, m in enumerate(mats)]
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 8], "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [5, 5, 5],
+                    "color": [1, 1, 1], "intensity": 1.0}]})
+    assert len(s.materials.textures) == 7
+    assert mk.scene_fits_kernel(s)
+    o, d, pix, samp = _lanes(s, 12, 8, 1, CFG)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, CFG))
+    out = np.asarray(mk.trace_pallas(s, o, d, pix, samp, CFG,
+                                     interpret=True))
+    assert np.max(ref) > 0.0
+    np.testing.assert_allclose(out, ref, atol=1e-4)

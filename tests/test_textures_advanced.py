@@ -138,9 +138,12 @@ def test_extended_kinds_render(adv_scene):
                                    mat_mod.EMISSION}
 
 
-def test_extended_kinds_force_jnp_engine(adv_scene):
+def test_extended_kinds_fit_kernel(adv_scene):
+    """Round 2: extended kinds run IN the Pallas kernel (round 1 exiled
+    them to the jnp engine); kernel equivalence is pinned by
+    test_megakernel.test_advanced_materials_kernel_matches_oracle."""
     from raytrace_tpu.ops import megakernel
-    assert not megakernel.scene_fits_kernel(adv_scene)
+    assert megakernel.scene_fits_kernel(adv_scene)
 
 
 def test_go_parity_degrades_to_lambertian(adv_scene):
