@@ -36,29 +36,36 @@ from raytrace_tpu.bench.suite import ring_scene_dict
 from raytrace_tpu.ops import megakernel
 
 W, H, SPP, DEPTH = 800, 600, 100, 50
+# The uncompacted jnp engine pays every bounce over every lane x every
+# primitive; at depth 50 that is minutes/frame for 1000 primitives (and a
+# single band program would outlive the tunneled worker's execution
+# watchdog). Its rays/s are spp-independent to first order, so measure it
+# at a lighter sample count and report the normalized rate.
+JNP_SPP = 10
 
 
-def measure(scene, engine, batch=8, reps=3):
+def measure(scene, engine, batch=8, reps=3, spp=SPP):
     r = rt.Renderer()
     r.engine = engine
-    r.set_samples(SPP)
+    r.set_samples(spp)
     r.set_max_depth(DEPTH)
     cfg = r.trace_config()
     t0 = time.perf_counter()
     img = r.render_linear(scene, W, H)
     compile_s = time.perf_counter() - t0
     assert float(np.asarray(img).max()) > 0.0
-    kw = dict(width=W, height=H, samples=SPP, cfg=cfg)
+    kw = dict(width=W, height=H, samples=spp, cfg=cfg)
     if engine == "pallas":
         frame = lambda: renderer_mod.render_wavefront(
             scene, as_numpy=False, assume_capacity=True, **kw)
     else:
-        bh = renderer_mod.pick_band_height(W, H, SPP)
+        bh = renderer_mod.pick_band_height(
+            W, H, spp, n_prims=renderer_mod.scene_prim_count(scene))
 
         def frame():
             bands = [renderer_mod.render_band(
                 scene, jnp.int32(y0), width=W, height=H, band_h=bh,
-                samples=SPP, cfg=cfg) for y0 in range(0, H, bh)]
+                samples=spp, cfg=cfg) for y0 in range(0, H, bh)]
             return jnp.concatenate(bands, axis=0)[:H]
     float(jnp.sum(frame()))
     best = float("inf")
@@ -68,6 +75,32 @@ def measure(scene, engine, batch=8, reps=3):
         float(jnp.sum(outs[-1]))
         best = min(best, (time.perf_counter() - t0) / batch)
     return best, compile_s, img
+
+
+def equivalence_check(scene):
+    """Small-frame pallas-vs-jnp check (full-size equivalence is pinned by
+    tests/test_bvh_accel.py and test_megakernel.py).
+
+    Returns (maxerr, bad_px, total_px). On the ring-N scenes the N ring
+    spheres are spaced 2*pi*5/N apart with radius 0.5, so past ~60 spheres
+    they interpenetrate and grazing rays produce sphere discriminants
+    below f32 resolution (|half_b^2 - a*c| < ulp(half_b^2)); whether such
+    a ray hits is undecidable in f32 and Mosaic/XLA legitimately round the
+    fused expression differently. Those knife-edge lanes (O(1e-4) of
+    pixels at n=1000) then walk divergent paths. The gate is therefore
+    statistical here - bad-pixel FRACTION - while the non-degenerate test
+    scenes keep strict maxerr gates (see tools/debug_pixel.py for the
+    measurement that pinned this)."""
+    r = rt.Renderer()
+    r.engine = "jnp"
+    r.set_samples(2)
+    r.set_max_depth(8)
+    cfg = r.trace_config()
+    img_j = np.asarray(r.render_linear(scene, 160, 120))
+    img_p = np.asarray(renderer_mod.render_wavefront(
+        scene, width=160, height=120, samples=2, cfg=cfg))
+    d = np.abs(img_p - img_j).max(axis=-1)
+    return float(d.max()), int((d > 1e-3).sum()), d.size
 
 
 def main():
@@ -82,13 +115,18 @@ def main():
         best, compile_s, img_p = measure(scene, "pallas")
         rps = W * H * SPP / best
         print(f"pallas: {best*1e3:8.1f} ms/frame  {rps:,.0f} rays/s  "
-              f"(compile {compile_s:.0f}s)", flush=True)
-        best_j, compile_j, img_j = measure(scene, "jnp", batch=2, reps=2)
-        rps_j = W * H * SPP / best_j
-        print(f"jnp:     {best_j*1e3:7.1f} ms/frame  {rps_j:,.0f} rays/s  "
-              f"(compile {compile_j:.0f}s)", flush=True)
-        err = float(np.max(np.abs(np.asarray(img_p) - np.asarray(img_j))))
-        print(f"max |pallas - jnp| = {err:.2e}", flush=True)
+              f"({SPP} spp, compile {compile_s:.0f}s)", flush=True)
+        best_j, compile_j, _ = measure(scene, "jnp", batch=1, reps=2,
+                                       spp=JNP_SPP)
+        rps_j = W * H * JNP_SPP / best_j
+        print(f"jnp:    {best_j*1e3:8.1f} ms/frame  {rps_j:,.0f} rays/s  "
+              f"({JNP_SPP} spp, compile {compile_j:.0f}s)", flush=True)
+        err, bad, tot = equivalence_check(scene)
+        frac = bad / tot
+        print(f"pallas vs jnp (160x120/2spp/depth-8): maxerr {err:.2e}, "
+              f"divergent px {bad}/{tot} ({frac:.1e}; f32-undecidable "
+              f"grazing hits on interpenetrating spheres)", flush=True)
+        assert frac <= 1e-3, "engine divergence beyond knife-edge budget"
 
 
 if __name__ == "__main__":

@@ -61,6 +61,15 @@ MAX_KERNEL_PRIMS = 96
 MAX_BVH_KERNEL_PRIMS = 4096
 
 
+def _env_no_fused_soft() -> bool:
+    """Debug knob: RT_NO_FUSED_SOFT=1 forces the per-sample soft-shadow
+    walks in bvh mode (vs. the fused all-samples walk). Set it before the
+    first render of the process - callers jit around trace_pallas and
+    won't re-trace on a later env change."""
+    import os
+    return os.environ.get("RT_NO_FUSED_SOFT", "") == "1"
+
+
 def scene_fits_kernel(scene) -> bool:
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
@@ -826,7 +835,171 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 _, bf = jax.lax.while_loop(wcond, wbody,
                                            (jnp.int32(0), bf))
                 return bf > 0.0
+
+            def soft_fused_fn(pre, need, ldx, ldy, ldz, dist, bounce_u,
+                              li):
+                """All soft-shadow samples in ONE conservative packet walk.
+
+                Walk steps are latency-bound (slab test + cross-lane
+                reduce + scalar branch per node), and the plain soft loop
+                pays that 16x per (block, light, bounce). Here node slabs
+                are tested ONCE with the central light direction against
+                boxes inflated by 0.102*dist: the 0.1-jitter direction
+                cone deviates from the central unit direction by at most
+                ~0.1002 (chord of the asin(0.1) cone), so a perturbed hit
+                at parameter t <= dist lies within 0.102*dist of the
+                central ray, and its nearest central parameter is
+                >= 0.995*t (hence the 0.995*t_min near clamp). The
+                visited leaves are therefore a strict superset of every
+                per-sample walk's; leaf primitives are tested per sample
+                with EXACTLY the per-sample arithmetic, so all verdicts
+                are bit-identical to 16 separate walks. Blocked bits
+                live in one int32 lane mask (bit s = sample s blocked /
+                lane irrelevant); the walk exits when every lane's mask
+                is full.
+                """
+                px_, py_, pz_ = pre
+                ss = shadow_samples
+                FULL = jnp.int32((1 << ss) - 1)
+                sd = []
+                for s in range(ss):
+                    stream = (bounce_u
+                              * np.uint32(rng.STREAMS_PER_BOUNCE)
+                              + np.uint32(rng.shadow_stream(li, s, ss)))
+                    bx, by, bz = _unit_ball(pix, samp, stream, seed)
+                    sdx, sdy, sdz = _norm3(ldx + 0.1 * bx,
+                                           ldy + 0.1 * by,
+                                           ldz + 0.1 * bz)
+                    a_s = sdx * sdx + sdy * sdy + sdz * sdz
+                    sd.append((sdx, sdy, sdz, a_s, 1.0 / a_s))
+
+                bm = jnp.where(need, jnp.int32(0), FULL)
+                # Planes live outside the tree: test every sample first so
+                # plane-blocked lanes feed the walk's early exit.
+                for j in range(npl):
+                    pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
+                    num = ((pln[0, j] - px_) * pnx
+                           + (pln[1, j] - py_) * pny
+                           + (pln[2, j] - pz_) * pnz)
+                    for s, (sdx, sdy, sdz, _, _) in enumerate(sd):
+                        denom = sdx * pnx + sdy * pny + sdz * pnz
+                        para = denom == 0.0
+                        tj = num / jnp.where(para, 1.0, denom)
+                        hit = (~para) & (tj >= t_min) & (tj <= dist)
+                        bm = bm | jnp.where(hit, jnp.int32(1 << s),
+                                            jnp.int32(0))
+
+                delta = dist * np.float32(0.102)
+                ivx, ivy, ivz = iv(ldx), iv(ldy), iv(ldz)
+                tminc = np.float32(0.995) * t_min
+
+                def _sph_all(pid, b3):
+                    ocx = px_ - sph[0, pid]
+                    ocy = py_ - sph[1, pid]
+                    ocz = pz_ - sph[2, pid]
+                    r = sph[3, pid]
+                    cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                    for s, (sdx, sdy, sdz, a_s, inv_a) in enumerate(sd):
+                        half_b = ocx * sdx + ocy * sdy + ocz * sdz
+                        disc = half_b * half_b - a_s * cc
+                        ok = disc >= 0.0
+                        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+                        r0 = (-half_b - sq) * inv_a
+                        r1 = (-half_b + sq) * inv_a
+                        hit = ok & (((r0 >= t_min) & (r0 <= dist))
+                                    | ((r1 >= t_min) & (r1 <= dist)))
+                        b3 = b3 | jnp.where(hit, jnp.int32(1 << s),
+                                            jnp.int32(0))
+                    return b3
+
+                def _tri_all(tj_i, b3):
+                    e1x, e1y, e1z = (tri[3, tj_i], tri[4, tj_i],
+                                     tri[5, tj_i])
+                    e2x, e2y, e2z = (tri[6, tj_i], tri[7, tj_i],
+                                     tri[8, tj_i])
+                    sx = px_ - tri[0, tj_i]
+                    sy = py_ - tri[1, tj_i]
+                    sz = pz_ - tri[2, tj_i]
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    e2q = e2x * qx + e2y * qy + e2z * qz
+                    for s, (sdx, sdy, sdz, _, _) in enumerate(sd):
+                        hx = sdy * e2z - sdz * e2y
+                        hy = sdz * e2x - sdx * e2z
+                        hz = sdx * e2y - sdy * e2x
+                        det = e1x * hx + e1y * hy + e1z * hz
+                        good = jnp.abs(det) >= 1e-6
+                        f = 1.0 / jnp.where(good, det, 1.0)
+                        u = f * (sx * hx + sy * hy + sz * hz)
+                        v = f * (sdx * qx + sdy * qy + sdz * qz)
+                        tj = f * e2q
+                        hit = (good & (u >= 0.0) & (u <= 1.0)
+                               & (v >= 0.0) & (u + v <= 1.0)
+                               & (tj >= t_min) & (tj <= dist))
+                        b3 = b3 | jnp.where(hit, jnp.int32(1 << s),
+                                            jnp.int32(0))
+                    return b3
+
+                def wcond(c):
+                    return c[0] < n_nodes
+
+                def wbody(c):
+                    cur, bm2 = c
+                    t0x = (bvh[0, cur] - delta - px_) * ivx
+                    t1x = (bvh[3, cur] + delta - px_) * ivx
+                    t0y = (bvh[1, cur] - delta - py_) * ivy
+                    t1y = (bvh[4, cur] + delta - py_) * ivy
+                    t0z = (bvh[2, cur] - delta - pz_) * ivz
+                    t1z = (bvh[5, cur] + delta - pz_) * ivz
+                    near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), tminc))
+                    far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), dist))
+                    unresolved = jnp.where(bm2 < FULL, 1.0, 0.0)
+                    boxed = jnp.max(
+                        jnp.where(near <= far, unresolved, 0.0)) > 0.0
+                    skip = bvh[6, cur].astype(jnp.int32)
+                    first = bvh[7, cur].astype(jnp.int32)
+                    cnt = bvh[8, cur].astype(jnp.int32)
+                    is_leaf = cnt > 0
+
+                    def leafer(b2):
+                        def lb(j, b3):
+                            pid = pidx[0, first + j].astype(jnp.int32)
+                            if ns and nt:
+                                return jax.lax.cond(
+                                    pid < ns,
+                                    lambda b: _sph_all(pid, b),
+                                    lambda b: _tri_all(pid - ns, b), b3)
+                            if ns:
+                                return _sph_all(pid, b3)
+                            return _tri_all(pid, b3)
+                        return jax.lax.fori_loop(0, cnt, lb, b2)
+
+                    bm2 = jax.lax.cond(boxed & is_leaf, leafer,
+                                       lambda b: b, bm2)
+                    done = jnp.max(
+                        jnp.where(bm2 < FULL, 1.0, 0.0)) <= 0.0
+                    nxt = jnp.where(done, n_nodes,
+                                    jnp.where(boxed & (~is_leaf),
+                                              cur + 1, skip))
+                    return nxt, bm2
+
+                _, bm = jax.lax.while_loop(wcond, wbody,
+                                           (jnp.int32(0), bm))
+                unb = jnp.zeros(px_.shape)
+                for s in range(ss):
+                    bit = (bm >> jnp.int32(s)) & jnp.int32(1)
+                    unb = unb + (jnp.int32(1) - bit).astype(jnp.float32)
+                return unb * np.float32(1.0 / ss)
         elif loop_mode:
+            soft_fused_fn = None
+
             def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
                 return closest_hit_loop(sph, tri, pln, ox, oy, oz,
                                         dx, dy, dz)
@@ -841,6 +1014,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 return any_hit_loop(sph, tri, pln, pre[0], pre[1], pre[2],
                                     ddx, ddy, ddz, tmax)
         else:
+            soft_fused_fn = None
+
             def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
                 return closest_hit(sph, tri, pln, ox, oy, oz, dx, dy, dz)
 
@@ -1012,24 +1187,36 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                             occl_pre, jnp.where(need, 1.0, 0.0),
                             lx, ly, lz, dist)
 
-                        def _soft(_):
-                            unblocked = jnp.zeros(px.shape)
-                            for s in range(shadow_samples):
-                                stream = (bounce.astype(jnp.uint32)
-                                          * np.uint32(
-                                              rng.STREAMS_PER_BOUNCE)
-                                          + np.uint32(rng.shadow_stream(
-                                              li, s, shadow_samples)))
-                                bx, by, bz = _unit_ball(pix, samp, stream,
-                                                        seed)
-                                sdx, sdy, sdz = _norm3(ldx + 0.1 * bx,
-                                                       ldy + 0.1 * by,
-                                                       ldz + 0.1 * bz)
-                                b = occl_test_fn(lctx_s,
-                                                 sdx, sdy, sdz, dist)
-                                unblocked += jnp.where(b, 0.0, 1.0)
-                            return unblocked * np.float32(
-                                1.0 / shadow_samples)
+                        if (soft_fused_fn is not None
+                                and shadow_samples <= 24
+                                and not _env_no_fused_soft()):
+                            # One conservative walk for ALL samples (bvh
+                            # mode; bit-identical verdicts, ~1/16th the
+                            # walk-step latency).
+                            _soft = lambda _: soft_fused_fn(
+                                occl_pre, need, ldx, ldy, ldz, dist,
+                                bounce.astype(jnp.uint32), li)
+                        else:
+                            def _soft(_):
+                                unblocked = jnp.zeros(px.shape)
+                                for s in range(shadow_samples):
+                                    stream = (bounce.astype(jnp.uint32)
+                                              * np.uint32(
+                                                  rng.STREAMS_PER_BOUNCE)
+                                              + np.uint32(
+                                                  rng.shadow_stream(
+                                                      li, s,
+                                                      shadow_samples)))
+                                    bx, by, bz = _unit_ball(
+                                        pix, samp, stream, seed)
+                                    sdx, sdy, sdz = _norm3(
+                                        ldx + 0.1 * bx, ldy + 0.1 * by,
+                                        ldz + 0.1 * bz)
+                                    b = occl_test_fn(lctx_s,
+                                                     sdx, sdy, sdz, dist)
+                                    unblocked += jnp.where(b, 0.0, 1.0)
+                                return unblocked * np.float32(
+                                    1.0 / shadow_samples)
 
                         soft_sf = jax.lax.cond(
                             jnp.any(need), _soft,

@@ -177,7 +177,8 @@ def render_linear_sharded(scene, width: int, height: int, *, samples: int,
     """
     n_dev = mesh.shape["px"] * mesh.shape["sp"]
     bh = band_h or renderer_mod.pick_band_height(
-        width, height, max(1, samples // n_dev))
+        width, height, max(1, samples // n_dev),
+        n_prims=renderer_mod.scene_prim_count(scene))
     out = np.zeros((height, width, 3), np.float32)
     bands = []
     for y0 in range(0, height, bh):

@@ -120,10 +120,28 @@ def render_band(scene, band_y0, *, width: int, height: int, band_h: int,
 
 
 def pick_band_height(width: int, height: int, samples: int,
-                     lane_budget: int = 1 << 21) -> int:
-    """Largest row band whose wavefront stays under the lane budget."""
+                     lane_budget: int = 1 << 21,
+                     n_prims: int = 1) -> int:
+    """Largest row band whose wavefront stays under the lane budget.
+
+    For primitive-heavy scenes the budget additionally caps the
+    (lanes x primitives) work product at ~2^28 per band: a depth-50
+    brute-force band over 2M lanes x 1000 primitives is a multi-minute
+    single XLA program, which the tunneled TPU worker's execution
+    watchdog kills (see intersect.use_accel). Scenes up to ~128
+    primitives keep the plain lane budget (bit-identical bands to the
+    historical ones - the committed compilation cache stays valid).
+    """
+    if n_prims > 128:
+        lane_budget = min(lane_budget, max(1 << 15, (1 << 28) // n_prims))
     rows = max(1, lane_budget // max(1, width * samples))
     return int(min(rows, height))
+
+
+def scene_prim_count(scene) -> int:
+    g = scene.geometry
+    return int(g.sph_center.shape[0] + g.tri_v0.shape[0]
+               + g.pl_point.shape[0])
 
 
 # ---------------------------------------------------------------------------
@@ -530,7 +548,8 @@ class Renderer:
                 self.metrics.record_rays(width * height * self.samples)
                 self.metrics.record_job_complete()
             return out
-        bh = band_h or pick_band_height(width, height, self.samples)
+        bh = band_h or pick_band_height(width, height, self.samples,
+                                        n_prims=scene_prim_count(scene))
         out = np.zeros((height, width, 3), np.float32)
         futures = []
         for y0 in range(0, height, bh):

@@ -359,3 +359,42 @@ def test_textured_kernel_matches_oracle():
                                      interpret=True))
     assert np.max(ref) > 0.0
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_bvh_fused_soft_shadows_match_oracle():
+    """The fused soft-shadow walk (one inflated-slab walk for all samples,
+    bvh mode) must produce bit-identical shadow fractions to the jnp
+    oracle's independent per-sample occlusion tests - exercised on a
+    40-sphere ring + ground plane with 4 soft samples so shadow boundaries
+    actually cross the frame."""
+    import dataclasses
+    from raytrace_tpu import scene as scene_mod
+    objs = [{"type": "plane", "position": [0, -1.0, 0],
+             "normal": [0, 1, 0],
+             "material": {"type": "lambertian", "color": [0.6, 0.6, 0.6]}}]
+    for i in range(40):
+        ang = 2.0 * np.pi * i / 40
+        objs.append({
+            "type": "sphere",
+            "position": [4.0 * np.cos(ang), 0.4, 4.0 * np.sin(ang)],
+            "radius": 0.45,
+            "material": {"type": "lambertian", "color": [0.7, 0.4, 0.3]}})
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 3, 10], "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [2, 8, 2],
+                    "color": [1, 1, 1], "intensity": 5.0}]})
+    s = scene_mod.with_accel(s)
+    cfg = trace_mod.TraceConfig(max_depth=2, shadow_samples=4)
+    o, d, pix, samp = _lanes(s, 10, 8, 1, cfg)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg))
+    orig = mk.UNROLL_PRIM_LIMIT
+    mk.UNROLL_PRIM_LIMIT = 8
+    try:
+        assert mk._kernel_mode(s) == "bvh"
+        out = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                         interpret=True))
+    finally:
+        mk.UNROLL_PRIM_LIMIT = orig
+    assert np.max(ref) > 0.0
+    np.testing.assert_allclose(out, ref, atol=1e-4)
