@@ -32,6 +32,12 @@ import jax
 import jax.numpy as jnp
 
 BVH_THRESHOLD = 64  # below this, brute force wins on TPU
+# Default build leaf size. The megakernel's packet walk is latency-bound
+# per NODE step (slab test + cross-lane reduce + scalar branch) while
+# leaf primitive tests are vectorized and nearly free, so wide leaves
+# win: ring-1000 d50/soft16 measures 1113/890/801/817 ms/frame at leaf
+# 4/8/16/32 (tools/sweep_leaf_size.py, TPU v5e).
+LEAF_SIZE_DEFAULT = 16
 _BIG = np.float32(3.0e38)
 
 
@@ -108,7 +114,7 @@ def _build_nodes(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
 
 
 def build_bvh(lo: np.ndarray, hi: np.ndarray,
-              leaf_size: int = 4) -> FlatBVH:
+              leaf_size: int = LEAF_SIZE_DEFAULT) -> FlatBVH:
     """Build from per-primitive AABBs (P,3)+(P,3).
 
     Uses the native C++ builder (native/rt_native.cpp) when available -
@@ -149,19 +155,19 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray,
 
 
 def build_sphere_bvh(centers: np.ndarray, radii: np.ndarray,
-                     leaf_size: int = 4) -> FlatBVH:
+                     leaf_size: int = LEAF_SIZE_DEFAULT) -> FlatBVH:
     r = np.asarray(radii)[:, None]
     c = np.asarray(centers)
     return build_bvh(c - r, c + r, leaf_size)
 
 
-def build_triangle_bvh(v0, v1, v2, leaf_size: int = 4) -> FlatBVH:
+def build_triangle_bvh(v0, v1, v2, leaf_size: int = LEAF_SIZE_DEFAULT) -> FlatBVH:
     lo = np.minimum(np.minimum(v0, v1), v2)
     hi = np.maximum(np.maximum(v0, v1), v2)
     return build_bvh(lo, hi, leaf_size)
 
 
-def build_scene_bvh(geom, leaf_size: int = 4) -> FlatBVH:
+def build_scene_bvh(geom, leaf_size: int = LEAF_SIZE_DEFAULT) -> FlatBVH:
     """Unified BVH over a Geometry's spheres AND triangles.
 
     Primitive ids use the same concatenated ordering as

@@ -849,7 +849,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 ~0.1002 (chord of the asin(0.1) cone), so a perturbed hit
                 at parameter t <= dist lies within 0.102*dist of the
                 central ray, and its nearest central parameter is
-                >= 0.995*t (hence the 0.995*t_min near clamp). The
+                >= cos(asin(0.1))*t = 0.99499*t (hence the 0.9949*t_min near clamp). The
                 visited leaves are therefore a strict superset of every
                 per-sample walk's; leaf primitives are tested per sample
                 with EXACTLY the per-sample arithmetic, so all verdicts
@@ -891,7 +891,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
 
                 delta = dist * np.float32(0.102)
                 ivx, ivy, ivz = iv(ldx), iv(ldy), iv(ldz)
-                tminc = np.float32(0.995) * t_min
+                tminc = np.float32(0.9949) * t_min
 
                 def _sph_all(pid, b3):
                     ocx = px_ - sph[0, pid]

@@ -101,15 +101,18 @@ class Scene:
     mesh_count: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
-def with_accel(scene: "Scene", leaf_size: int = 4) -> "Scene":
+def with_accel(scene: "Scene", leaf_size: Optional[int] = None) -> "Scene":
     """Return the scene with a freshly built sphere+triangle BVH attached
     (the working form of what spatial_acceleration.go aspired to wire into
-    hitWorld)."""
+    hitWorld). ``leaf_size`` defaults to bvh.LEAF_SIZE_DEFAULT (tuned for
+    the TPU packet walk; see the sweep note there)."""
     from . import bvh as bvh_mod
     n = (scene.geometry.sph_center.shape[0]
          + scene.geometry.tri_v0.shape[0])
     if n == 0:
         return scene
+    if leaf_size is None:
+        leaf_size = bvh_mod.LEAF_SIZE_DEFAULT
     return dataclasses.replace(
         scene, accel=bvh_mod.build_scene_bvh(scene.geometry, leaf_size))
 
