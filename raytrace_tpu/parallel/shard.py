@@ -18,6 +18,7 @@ multi-host determinism requirement of SURVEY.md §7).
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import numpy as np
 import jax
@@ -83,7 +84,8 @@ def render_band_sharded(scene, band_y0, *, width: int, height: int,
 def render_wavefront_sharded(scene, *, width: int, height: int,
                              samples: int, cfg: trace_mod.TraceConfig,
                              mesh, go_camera: bool = True,
-                             px_capacity: int = 0, block_rows: int = 8):
+                             px_capacity: int = 0,
+                             block_rows: Optional[int] = None):
     """Compacted Pallas wavefront, sharded over the ``px`` mesh axis.
 
     Each device owns a contiguous band of rows and runs the full
@@ -102,6 +104,8 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
     from ..ops import intersect, megakernel
     from .. import renderer as renderer_mod
 
+    if block_rows is None:
+        block_rows = renderer_mod.pick_block_rows(scene)
     n_shards = mesh.shape["px"]
     if mesh.shape.get("sp", 1) != 1:
         raise ValueError("render_wavefront_sharded shards pixels only; "

@@ -367,9 +367,22 @@ def flush_capacity_checks() -> int:
     return len(pending)
 
 
+def pick_block_rows(scene) -> int:
+    """Kernel-mode-tuned Pallas block height.
+
+    The chip has ONE TensorCore, so grid blocks run sequentially and the
+    latency-bound BVH packet walk wants fewer, wider blocks (union node
+    visits grow sublinearly with packet width): ring-1000 d50/soft16
+    measures 799/703/738/1034 ms/frame at block_rows 8/16/32/64
+    (tools/sweep_block_rows.py). Unroll/loop modes keep the historical 8
+    (>8 measured within noise there, and the committed compilation cache
+    for the headline scenes is keyed on it)."""
+    return 16 if megakernel._kernel_mode(scene) == "bvh" else 8
+
+
 def render_wavefront(scene, *, width: int, height: int, samples: int,
                      cfg: trace_mod.TraceConfig, go_camera: bool = True,
-                     block_rows: int = 8, as_numpy: bool = True,
+                     block_rows: Optional[int] = None, as_numpy: bool = True,
                      assume_capacity: bool = False):
     """Compacted-wavefront render: (H, W, 3) mean linear radiance.
 
@@ -382,6 +395,8 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
     sees one scalar (the hit-pixel count, which sizes the kernel launch)
     and the final image.
     """
+    if block_rows is None:
+        block_rows = pick_block_rows(scene)
     # Quantum: pixels per pallas block (block lanes / spp), >= 1.
     quantum = max(1, (block_rows * megakernel.LANE) // max(1, samples))
     cache_key = (width, height, samples, cfg, go_camera, block_rows)
