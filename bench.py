@@ -80,15 +80,18 @@ def main() -> int:
     # validated once per batch (flush_capacity_checks) - no silent pixel
     # drops, one amortized sync.
     def frame():
-        linear = renderer_mod.render_wavefront(
-            scene, as_numpy=False, assume_capacity=True, **kw)
-        return tm.to_rgb8(tm.tonemap(linear))
+        # post=tonemap_rgb8 folds tonemap + quantization into the fused
+        # render program: ONE dispatch per frame (the per-dispatch tunnel
+        # latency otherwise rivals the ~24 ms compute of this scene).
+        return renderer_mod.render_wavefront(
+            scene, as_numpy=False, assume_capacity=True,
+            post=tm.tonemap_rgb8, **kw)
 
     checksum = int(jnp.sum(frame().astype(jnp.int32)))
     assert checksum > 0
     renderer_mod.flush_capacity_checks()
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     best = float("inf")
     for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
         t0 = time.perf_counter()

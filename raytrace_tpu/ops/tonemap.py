@@ -29,3 +29,14 @@ def to_rgb8(mapped):
     """Clamp + truncate to uint8, matching Go's uint8(x*255) (vector.go:106-109)."""
     c = jnp.clip(mapped, 0.0, 1.0)
     return jnp.floor(c * 255.0).astype(jnp.uint8)
+
+
+def tonemap_rgb8(linear):
+    """Full display transform in one traceable op: tonemap + quantize.
+
+    Module-level (hashable, stable identity) so it can ride as the static
+    ``post`` stage of renderer._render_fused - the whole
+    render->tonemap->uint8 frame then compiles to a single dispatch,
+    which matters on the tunneled dev TPU where per-dispatch latency can
+    rival short frames' compute (see BENCHMARKS.md variance note)."""
+    return to_rgb8(tonemap(linear))

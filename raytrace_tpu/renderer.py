@@ -300,10 +300,11 @@ def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
 
 
 @partial(jax.jit, static_argnames=("k_pad", "width", "height", "samples",
-                                   "cfg", "go_camera", "block_rows"))
+                                   "cfg", "go_camera", "block_rows",
+                                   "post"))
 def _render_fused(scene, *, k_pad: int, width: int, height: int,
                   samples: int, cfg: trace_mod.TraceConfig,
-                  go_camera: bool, block_rows: int):
+                  go_camera: bool, block_rows: int, post=None):
     """Whole wavefront render in ONE dispatch, given a capacity k_pad.
 
     Returns (img, k_px): the caller must check k_px <= k_pad - if the
@@ -320,6 +321,8 @@ def _render_fused(scene, *, k_pad: int, width: int, height: int,
         scene, hit_px, pos_px, k_px, k_pad=k_pad, width=width,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
         block_rows=block_rows)
+    if post is not None:
+        img = post(img)
     return img, k_px
 
 
@@ -352,18 +355,22 @@ def flush_capacity_checks() -> int:
     (i.e. silently dropped pixels because the scene changed).
 
     Callers batching device-resident frames (bench.py) call this once per
-    batch: one host sync amortized over the batch instead of one per
-    frame. Returns the number of frames validated."""
+    batch: ONE host transfer for the whole batch - the flags are stacked
+    on device first (a per-flag ``int()`` loop costs a ~30 ms tunnel RPC
+    each and once measured as a +30 ms/frame tax on the headline bench).
+    Returns the number of frames validated."""
     global _PENDING_CHECKS
     pending, _PENDING_CHECKS = _PENDING_CHECKS, []
-    for key, k_dev, k_pad in pending:
-        k = int(k_dev)
-        if k > k_pad:
+    if not pending:
+        return 0
+    ks = np.asarray(jnp.stack([k_dev for _, k_dev, _ in pending]))
+    for (key, _, k_pad), k in zip(pending, ks):
+        if int(k) > k_pad:
             _KPAD_CACHE.pop(key, None)  # force revalidation next frame
             raise RuntimeError(
                 f"assume_capacity render dropped pixels: hit-pixel count "
-                f"{k} exceeded cached capacity {k_pad}; the scene changed "
-                f"- re-render without assume_capacity")
+                f"{int(k)} exceeded cached capacity {k_pad}; the scene "
+                f"changed - re-render without assume_capacity")
     return len(pending)
 
 
@@ -383,7 +390,7 @@ def pick_block_rows(scene) -> int:
 def render_wavefront(scene, *, width: int, height: int, samples: int,
                      cfg: trace_mod.TraceConfig, go_camera: bool = True,
                      block_rows: Optional[int] = None, as_numpy: bool = True,
-                     assume_capacity: bool = False):
+                     assume_capacity: bool = False, post=None):
     """Compacted-wavefront render: (H, W, 3) mean linear radiance.
 
     Pipeline (all on device): primary any-hit over every lane (XLA) ->
@@ -399,7 +406,7 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         block_rows = pick_block_rows(scene)
     # Quantum: pixels per pallas block (block lanes / spp), >= 1.
     quantum = max(1, (block_rows * megakernel.LANE) // max(1, samples))
-    cache_key = (width, height, samples, cfg, go_camera, block_rows)
+    cache_key = (width, height, samples, cfg, go_camera, block_rows, post)
 
     k_pad = _KPAD_CACHE.get(cache_key)
     if k_pad is not None:
@@ -407,7 +414,7 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         img, k_dev = _render_fused(
             scene, k_pad=k_pad, width=width, height=height,
             samples=samples, cfg=cfg, go_camera=go_camera,
-            block_rows=block_rows)
+            block_rows=block_rows, post=post)
         if assume_capacity:
             # Caller asserts the scene is unchanged since a validated
             # render: skip the capacity-check sync so back-to-back frames
@@ -432,8 +439,10 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         go_camera=go_camera)
     k_px = int(k_dev)  # host sync sizes the launch
     if k_px <= 0:
-        z = np.zeros((height, width, 3), np.float32)
-        return z if as_numpy else jnp.asarray(z)
+        z = jnp.zeros((height, width, 3), jnp.float32)
+        if post is not None:
+            z = post(z)
+        return np.asarray(z) if as_numpy else z
 
     k_pad = min(_pad_bucket(k_px, quantum), width * height)
     _kpad_cache_put(cache_key, k_pad)
@@ -441,6 +450,8 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad, width=width,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
         block_rows=block_rows)
+    if post is not None:
+        img = post(img)  # first frame only; steady state fuses it
     return np.asarray(img) if as_numpy else img
 
 
