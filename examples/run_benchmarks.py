@@ -109,9 +109,21 @@ def main():
         f"Generated {time.strftime('%Y-%m-%d %H:%M:%S%z')} by "
         "`examples/run_benchmarks.py`.",
     ]
-    with open(os.path.join(ROOT, "BENCHMARKS.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote BENCHMARKS.md")
+    # Splice: replace only the header + table, PRESERVE every hand-written
+    # section after the existing "Generated ..." line (postmortems, large-
+    # scene tables, scaling, equivalence notes).
+    path = os.path.join(ROOT, "BENCHMARKS.md")
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = f.read().splitlines(keepends=True)
+        for i, l in enumerate(prev):
+            if l.startswith("Generated "):
+                tail = "".join(prev[i + 1:])
+                break
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
+    print("wrote BENCHMARKS.md (sections preserved)")
 
 
 if __name__ == "__main__":

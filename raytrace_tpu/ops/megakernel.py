@@ -1872,6 +1872,242 @@ def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
     return out.reshape(-1)[:B]
 
 
+def _bsphere_table(scene):
+    """(4, ns+nt) bounding-sphere SMEM table for the cone mask.
+
+    Real spheres first, then per-triangle bounding spheres (centroid +
+    max vertex distance), in the SAME pid order as the unified BVH - the
+    cone mask's conservative test is identical for both, so the kernel
+    needs no sphere/triangle branch at all."""
+    g = scene.geometry
+    f32 = jnp.float32
+    m = (g.tri_v0 + g.tri_v1 + g.tri_v2) * (1.0 / 3.0)
+    rt = jnp.sqrt(jnp.maximum(jnp.maximum(
+        jnp.sum((g.tri_v0 - m) ** 2, axis=-1),
+        jnp.sum((g.tri_v1 - m) ** 2, axis=-1)),
+        jnp.sum((g.tri_v2 - m) ** 2, axis=-1)))
+    c = jnp.concatenate([g.sph_center.astype(f32), m.astype(f32)], axis=0)
+    r = jnp.concatenate([g.sph_radius.astype(f32), rt.astype(f32)],
+                        axis=0)
+    return jnp.concatenate([c, r[:, None]], axis=1).T  # (4, ns+nt)
+
+
+def _cone_half_sin(scene, go_camera: bool, width: int, height: int):
+    """Upper bound on sin(angle) between any jittered pixel ray and the
+    pixel-center ray, as a traced scalar.
+
+    Both cameras are affine d(u,v) = A + u*B + v*C with unit forward
+    component (go camera: d.z = -1 exactly, renderer.go:385; look-at:
+    A.fwd = 1, B,C perpendicular to fwd), so |d| >= 1 for every ray and
+    sin(angle(d_c, d_j)) = |d_c x delta| / (|d_c||d_j|) <= |delta| with
+    delta = alpha*B + beta*C, |alpha| <= 0.5/W, |beta| <= 0.5/H."""
+    cam = _affine_camera(scene, go_camera)  # rows: origin, A, B, C
+    nb = jnp.sqrt(jnp.sum(cam[2] * cam[2]))
+    nc = jnp.sqrt(jnp.sum(cam[3] * cam[3]))
+    return 0.5 * (nb / width + nc / height)
+
+
+def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
+                      go_camera: bool = True, block_rows: int = 64,
+                      interpret: bool | None = None):
+    """Per-PIXEL conservative primary mask: one central ray per pixel.
+
+    The per-lane mask (primary_mask_pallas) tests all W*H*spp jittered
+    rays - at 100 spp that pass costs ~22 ms of the headline scene's
+    ~25 ms frame. This kernel tests ONE ray per pixel (the pixel center)
+    against primitives inflated by the pixel's ray cone, giving a
+    spp-independent mask that costs 1/spp as much:
+
+      * every jittered ray deviates from the central ray by at most
+        sin(theta) <= k (see _cone_half_sin), so a jittered hit point h
+        with |h - c| <= r lies within (|c - o| + r) * k of the central
+        LINE; the central-line test therefore uses the inflated radius
+        R = r + (|c - o| + r) * k + eps and can never exclude a pixel
+        whose any sample would hit (over-included pixels trace to exact
+        black, same contract as the per-lane mask);
+      * triangles are covered by their bounding spheres (_bsphere_table)
+        - conservative, cheap, and branch-free in-kernel;
+      * infinite planes use interval arithmetic on the denominator:
+        n.d_j lies within +-k of n.d_c (|n| = 1, scene loader
+        normalizes), so a pixel is included when the sign could flip,
+        when the plane passes near the origin, or when num/denom is
+        positive for some denominator in the interval;
+      * bvh mode walks node slabs inflated per node by
+        k * dist(origin, farthest corner) (computed here, camera in
+        hand) plus the usual fp slack, and runs the same bounding-sphere
+        test at the leaves;
+      * forward culling keeps spheres behind the camera excluded:
+        a forward hit implies oc . d_c >= -R * |d_c|.
+
+    Thin-lens DoF perturbs origins; callers keep the per-lane mask for
+    that path (renderer._pixel_mask)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    ns = scene.geometry.sph_center.shape[0]
+    nt = scene.geometry.tri_v0.shape[0]
+    npl = scene.geometry.pl_point.shape[0]
+    nbs = ns + nt
+    mode = _kernel_mode(scene)
+    use_bvh = mode == "bvh"
+    loop_mode = mode == "loop"
+    n_nodes = scene.accel.node_min.shape[0] if use_bvh else 0
+    inv_w = np.float32(1.0 / width)
+    inv_h = np.float32(1.0 / height)
+    eps = np.float32(1e-3)
+
+    def kernel(*refs):
+        if use_bvh:
+            bvh, pidx = refs[0], refs[1]
+            refs = refs[2:]
+        (bs_ref, pln_ref, cam_ref, px_ref, py_ref, out_ref) = refs
+        u = (px_ref[:] + 0.5) * inv_w
+        v = (py_ref[:] + 0.5) * inv_h
+        ox = cam_ref[0, 0] + jnp.zeros_like(u)
+        oy = cam_ref[0, 1] + jnp.zeros_like(u)
+        oz = cam_ref[0, 2] + jnp.zeros_like(u)
+        dx = cam_ref[1, 0] + u * cam_ref[2, 0] + v * cam_ref[3, 0]
+        dy = cam_ref[1, 1] + u * cam_ref[2, 1] + v * cam_ref[3, 1]
+        dz = cam_ref[1, 2] + u * cam_ref[2, 2] + v * cam_ref[3, 2]
+        k = cam_ref[4, 0]
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        sqa = jnp.sqrt(a)
+
+        def bs_hit(j, bf):
+            ocx = bs_ref[0, j] - ox
+            ocy = bs_ref[1, j] - oy
+            ocz = bs_ref[2, j] - oz
+            oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+            g = ocx * dx + ocy * dy + ocz * dz
+            r = bs_ref[3, j]
+            R = r + (jnp.sqrt(oc2) + r) * k + eps
+            hit = (oc2 - g * g * inv_a <= R * R) & (g >= -R * sqa)
+            return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+        def pln_hit(j, bf):
+            denom = (dx * pln_ref[3, j] + dy * pln_ref[4, j]
+                     + dz * pln_ref[5, j])
+            num = ((pln_ref[0, j] - ox) * pln_ref[3, j]
+                   + (pln_ref[1, j] - oy) * pln_ref[4, j]
+                   + (pln_ref[2, j] - oz) * pln_ref[5, j])
+            hit = ((jnp.abs(denom) <= k + eps)
+                   | (num * denom > 0.0)
+                   | (jnp.abs(num) <= eps))
+            return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
+
+        bf = jnp.zeros(u.shape)
+        if use_bvh:
+            ivx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            ivy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            ivz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+            def wcond(c):
+                return c[0] < n_nodes
+
+            def wbody(c):
+                cur, bf2 = c
+                t0x = (bvh[0, cur] - ox) * ivx
+                t1x = (bvh[3, cur] - ox) * ivx
+                t0y = (bvh[1, cur] - oy) * ivy
+                t1y = (bvh[4, cur] - oy) * ivy
+                t0z = (bvh[2, cur] - oz) * ivz
+                t1z = (bvh[5, cur] - oz) * ivz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                              jnp.maximum(t0y, t1y)),
+                                  jnp.maximum(t0z, t1z))
+                want = jnp.where((near <= far) & (bf2 < 1.0), 1.0, 0.0)
+                boxed = jnp.max(want) > 0.0
+                skip = bvh[6, cur].astype(jnp.int32)
+                first = bvh[7, cur].astype(jnp.int32)
+                cnt = bvh[8, cur].astype(jnp.int32)
+                is_leaf = cnt > 0
+
+                def leafer(b2):
+                    def lb(j, b3):
+                        pid = pidx[0, first + j].astype(jnp.int32)
+                        return bs_hit(pid, b3)
+                    return jax.lax.fori_loop(0, cnt, lb, b2)
+
+                bf2 = jax.lax.cond(boxed & is_leaf, leafer,
+                                   lambda b: b, bf2)
+                done = jnp.min(bf2) >= 1.0
+                nxt = jnp.where(done, n_nodes,
+                                jnp.where(boxed & (~is_leaf), cur + 1,
+                                          skip))
+                return nxt, bf2
+
+            _, bf = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), bf))
+        elif loop_mode:
+            if nbs:
+                bf = jax.lax.fori_loop(0, nbs, bs_hit, bf)
+        else:
+            for j in range(nbs):
+                bf = bs_hit(j, bf)
+        if npl:
+            if loop_mode or use_bvh:
+                bf = jax.lax.fori_loop(0, npl, pln_hit, bf)
+            else:
+                for j in range(npl):
+                    bf = pln_hit(j, bf)
+        out_ref[:] = bf
+
+    B = px.shape[0]
+    blk = block_rows * LANE
+    n_blocks = -(-B // blk)
+    pad = n_blocks * blk - B
+    prep = lambda x: jnp.pad(x, (0, pad)).reshape(-1, LANE)
+
+    pad1 = lambda a: a if a.shape[-1] else jnp.zeros(a.shape[:-1] + (1,),
+                                                     a.dtype)
+    bs = pad1(_bsphere_table(scene))
+    g = scene.geometry
+    pln = pad1(jnp.concatenate([
+        g.pl_point.astype(jnp.float32), g.pl_normal.astype(jnp.float32),
+        g.pl_mat[:, None].astype(jnp.float32)], axis=1).T)
+    cam4 = _affine_camera(scene, go_camera)
+    k = _cone_half_sin(scene, go_camera, width, height)
+    cam = jnp.concatenate(
+        [cam4, jnp.stack([k, k * 0.0, k * 0.0])[None, :]], axis=0)
+
+    bvh_inputs = []
+    if use_bvh:
+        origin = cam4[0]
+        nmin = jnp.asarray(scene.accel.node_min, jnp.float32)
+        nmax = jnp.asarray(scene.accel.node_max, jnp.float32)
+        far = jnp.maximum(jnp.abs(nmin - origin), jnp.abs(nmax - origin))
+        padn = (k * jnp.sqrt(jnp.sum(far * far, axis=-1)) + eps)[:, None]
+        fp = 1e-3 * (nmax - nmin) + 1e-3  # fp slack (pack_bvh_tables)
+        nodes = jnp.concatenate([
+            nmin - padn - fp, nmax + padn + fp,
+            scene.accel.node_skip[:, None].astype(jnp.float32),
+            scene.accel.node_first[:, None].astype(jnp.float32),
+            scene.accel.node_count[:, None].astype(jnp.float32)],
+            axis=1).T
+        pidx_t = scene.accel.prim_index[None, :].astype(jnp.float32)
+        bvh_inputs = [nodes, pad1(pidx_t)]
+
+    rows = n_blocks * block_rows
+    table_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    lane_spec = lambda: pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[table_spec() for _ in range(len(bvh_inputs) + 3)]
+        + [lane_spec() for _ in range(2)],
+        out_specs=lane_spec(),
+        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+        interpret=interpret,
+    )(*bvh_inputs, bs, pln, cam,
+      prep(px.astype(jnp.float32)), prep(py.astype(jnp.float32)))
+    return out.reshape(-1)[:B]
+
+
 def pack_tables(scene):
     """Scene pytree -> packed f32 tables (spheres, tris, lights, mats).
 

@@ -184,25 +184,38 @@ def _pixel_mask(scene, *, width: int, height: int, samples: int,
     """
     n_px = width * height
     pix = jnp.arange(n_px, dtype=jnp.uint32)
-    pix_id = jnp.repeat(pix, samples)
-    samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not cfg.depth_of_field:
+        # Per-PIXEL cone mask: ONE central ray per pixel against
+        # cone-inflated primitives covers every jittered sample - a
+        # spp-independent pass costing 1/spp of the per-lane mask (which
+        # was ~22 of the headline frame's ~25 ms at 100 spp). Thin-lens
+        # DoF perturbs origins, so that path keeps the per-lane kernel.
+        px = (pix % np.uint32(width)).astype(jnp.float32)
+        py = (pix // np.uint32(width)).astype(jnp.float32)
+        hit_px = megakernel.pixel_mask_pallas(
+            scene, px, py, width=width, height=height, cfg=cfg,
+            go_camera=go_camera) > 0.0
+    elif jax.default_backend() == "tpu":
         # Fused Pallas mask: jitter->ray->any-hit per lane with no HBM
         # intermediates (the XLA form costs ~25 full-wavefront passes).
+        pix_id = jnp.repeat(pix, samples)
+        samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
         px = (pix_id % np.uint32(width)).astype(jnp.float32)
         py = (pix_id // np.uint32(width)).astype(jnp.float32)
         hit_f = megakernel.primary_mask_pallas(
             scene, pix_id, samp_id, px, py, width=width, height=height,
             cfg=cfg, go_camera=go_camera)
-        hit = hit_f > 0.0
+        hit_px = jnp.any((hit_f > 0.0).reshape(n_px, samples), axis=1)
     else:
+        pix_id = jnp.repeat(pix, samples)
+        samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
         origin, direction = _lane_rays(scene, pix_id, samp_id, width=width,
                                        height=height, cfg=cfg,
                                        go_camera=go_camera)
         hit = intersect.any_hit(scene.geometry, origin, direction, 1e-3,
                                 intersect.BIG,
                                 accel=getattr(scene, "accel", None))
-    hit_px = jnp.any(hit.reshape(n_px, samples), axis=1)
+        hit_px = jnp.any(hit.reshape(n_px, samples), axis=1)
     pos_px = jnp.cumsum(hit_px.astype(jnp.int32)) - 1
     return hit_px, pos_px, pos_px[-1] + 1
 

@@ -398,3 +398,73 @@ def test_bvh_fused_soft_shadows_match_oracle():
         mk.UNROLL_PRIM_LIMIT = orig
     assert np.max(ref) > 0.0
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def _mask_oracle_px(s, W, H, spp, cfg):
+    """Per-pixel any-sample-hit ground truth via the exact lane rays."""
+    from raytrace_tpu.ops import intersect
+    n_px = W * H
+    pix_id = jnp.repeat(jnp.arange(n_px, dtype=jnp.uint32), spp)
+    samp_id = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), n_px)
+    o, d = renderer_mod._lane_rays(s, pix_id, samp_id, width=W, height=H,
+                                   cfg=cfg, go_camera=True)
+    hit = intersect.any_hit(s.geometry, o, d, 1e-3, intersect.BIG)
+    return np.asarray(jnp.any(hit.reshape(n_px, spp), axis=1))
+
+
+def test_pixel_cone_mask_conservative():
+    """The per-pixel cone mask must NEVER exclude a pixel whose any
+    jittered sample hits geometry (over-inclusion is fine; exclusion
+    loses radiance). Fuzzed over random sphere/cube scenes plus a plane,
+    in unroll mode and (prim-limit patched) bvh mode."""
+    from raytrace_tpu import scene as scene_mod
+    W, H, spp = 32, 24, 4
+    cfg = trace_mod.TraceConfig(max_depth=2)
+    rng_np = np.random.default_rng(11)
+    for trial in range(3):
+        objs = [{"type": "plane", "position": [0, -1.2, 0],
+                 "normal": [0, 1, 0],
+                 "material": {"type": "lambertian",
+                              "color": [0.5, 0.5, 0.5]}}]
+        for _ in range(12):
+            kind = rng_np.choice(["sphere", "cube"])
+            pos = rng_np.uniform([-4, -1, -6], [4, 3, 2]).tolist()
+            if kind == "sphere":
+                objs.append({"type": "sphere", "position": pos,
+                             "radius": float(rng_np.uniform(0.2, 0.9)),
+                             "material": {"type": "lambertian",
+                                          "color": [0.6, 0.4, 0.3]}})
+            else:
+                objs.append({"type": "cube", "position": pos,
+                             "size": [float(rng_np.uniform(0.3, 1.2))] * 3,
+                             "material": {"type": "metal",
+                                          "color": [0.7, 0.7, 0.8],
+                                          "roughness": 0.2}})
+        s, _ = rt.scene_from_dict({
+            "camera": {"position": [0, 1, 9], "aspectRatio": 1.33},
+            "objects": objs,
+            "lights": [{"type": "point", "position": [4, 8, 4],
+                        "color": [1, 1, 1], "intensity": 2.0}]})
+        oracle = _mask_oracle_px(s, W, H, spp, cfg)
+        px = (jnp.arange(W * H, dtype=jnp.uint32)
+              % np.uint32(W)).astype(jnp.float32)
+        py = (jnp.arange(W * H, dtype=jnp.uint32)
+              // np.uint32(W)).astype(jnp.float32)
+        cone = np.asarray(mk.pixel_mask_pallas(
+            s, px, py, width=W, height=H, cfg=cfg, interpret=True)) > 0.0
+        missed = oracle & ~cone
+        assert not missed.any(), (trial, int(missed.sum()))
+
+        # bvh mode: same invariant through the inflated-slab walk.
+        s2 = scene_mod.with_accel(s)
+        orig = mk.UNROLL_PRIM_LIMIT
+        mk.UNROLL_PRIM_LIMIT = 4
+        try:
+            assert mk._kernel_mode(s2) == "bvh"
+            cone2 = np.asarray(mk.pixel_mask_pallas(
+                s2, px, py, width=W, height=H, cfg=cfg,
+                interpret=True)) > 0.0
+        finally:
+            mk.UNROLL_PRIM_LIMIT = orig
+        missed2 = oracle & ~cone2
+        assert not missed2.any(), (trial, int(missed2.sum()))
