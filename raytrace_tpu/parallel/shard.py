@@ -126,12 +126,22 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
         pix_id = jnp.repeat(pix, samples)
         samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32),
                            n_px_local)
-        origin, direction = renderer_mod._lane_rays(
-            scene, pix_id, samp_id, width=width, height=height, cfg=cfg,
-            go_camera=go_camera)
-        hit = intersect.any_hit(scene.geometry, origin, direction, 1e-3,
-                                intersect.BIG)
-        hit_px = jnp.any(hit.reshape(n_px_local, samples), axis=1)
+        if not cfg.depth_of_field:
+            # Same per-pixel cone mask as the single-chip driver
+            # (renderer._pixel_mask): one central ray per pixel, spp
+            # independent, conservative by construction.
+            pxc = (pix % np.uint32(width)).astype(jnp.float32)
+            pyc = (pix // np.uint32(width)).astype(jnp.float32)
+            hit_px = megakernel.pixel_mask_pallas(
+                scene, pxc, pyc, width=width, height=height, cfg=cfg,
+                go_camera=go_camera) > 0.0
+        else:
+            origin, direction = renderer_mod._lane_rays(
+                scene, pix_id, samp_id, width=width, height=height,
+                cfg=cfg, go_camera=go_camera)
+            hit = intersect.any_hit(scene.geometry, origin, direction,
+                                    1e-3, intersect.BIG)
+            hit_px = jnp.any(hit.reshape(n_px_local, samples), axis=1)
         pos = jnp.cumsum(hit_px.astype(jnp.int32)) - 1
         k_px = pos[-1] + 1
         overflow = jnp.maximum(0, k_px - px_capacity)
