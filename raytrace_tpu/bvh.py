@@ -68,8 +68,67 @@ class FlatBVH:
                                        metadata=dict(static=True))
 
 
-def _build_nodes(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
-    """Median-split recursion -> (nodes list, primitive permutation)."""
+def _sah_partition(lo, hi, idx, n_bins=16):
+    """Binned surface-area-heuristic split -> (left_idx, right_idx).
+
+    Standard binned SAH (Wald 2007): bin centroids on each axis, pick the
+    (axis, bin boundary) minimizing N_L*A_L + N_R*A_R. Falls back to a
+    longest-axis median when the centroids are degenerate. Leaf policy is
+    the caller's (node <= leaf_size stays a leaf): on the TPU packet walk
+    node steps are latency-bound while leaf primitive tests vectorize, so
+    wide leaves win (BENCHMARKS.md leaf-16 note) and SAH only chooses
+    INNER splits."""
+    centers = (lo[idx] + hi[idx]) * 0.5
+    cmin = centers.min(axis=0)
+    cmax = centers.max(axis=0)
+    ext = cmax - cmin
+
+    def half_area(bmin, bmax):
+        d = np.maximum(bmax - bmin, 0.0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] \
+            + d[..., 2] * d[..., 0]
+
+    best = None  # (cost, axis, mask_left)
+    for axis in range(3):
+        if ext[axis] <= 0.0:
+            continue
+        b = np.minimum(((centers[:, axis] - cmin[axis])
+                        * (n_bins / ext[axis])).astype(np.int64),
+                       n_bins - 1)
+        counts = np.bincount(b, minlength=n_bins)
+        bin_lo = np.full((n_bins, 3), np.inf, np.float32)
+        bin_hi = np.full((n_bins, 3), -np.inf, np.float32)
+        np.minimum.at(bin_lo, b, lo[idx])
+        np.maximum.at(bin_hi, b, hi[idx])
+        # prefix/suffix sweeps over bin boundaries
+        lo_l = np.minimum.accumulate(bin_lo, axis=0)
+        hi_l = np.maximum.accumulate(bin_hi, axis=0)
+        lo_r = np.minimum.accumulate(bin_lo[::-1], axis=0)[::-1]
+        hi_r = np.maximum.accumulate(bin_hi[::-1], axis=0)[::-1]
+        n_l = np.cumsum(counts)[:-1]
+        n_r = idx.size - n_l
+        cost = np.where(
+            (n_l > 0) & (n_r > 0),
+            n_l * half_area(lo_l[:-1], hi_l[:-1])
+            + n_r * half_area(lo_r[1:], hi_r[1:]),
+            np.inf)
+        k = int(np.argmin(cost))
+        if np.isfinite(cost[k]) and (best is None or cost[k] < best[0]):
+            best = (float(cost[k]), axis, b <= k)
+    if best is None:  # degenerate centroids: median on longest axis
+        axis = int(np.argmax(hi[idx].max(0) - lo[idx].min(0)))
+        med = np.argsort(centers[:, axis], kind="stable")
+        half = idx.size // 2
+        return idx[med[:half]], idx[med[half:]]
+    return idx[best[2]], idx[~best[2]]
+
+
+def _build_nodes(lo: np.ndarray, hi: np.ndarray, leaf_size: int,
+                 method: str = "median"):
+    """Split recursion -> (nodes list, primitive permutation).
+
+    method 'median': longest-axis median split (matches the native
+    builder's topology). 'sah': binned surface-area heuristic."""
     n = lo.shape[0]
     order = np.arange(n)
     nodes: List[Tuple[np.ndarray, np.ndarray, int, int]] = []
@@ -82,17 +141,23 @@ def _build_nodes(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
         bmin = lo[idx].min(axis=0)
         bmax = hi[idx].max(axis=0)
         nodes.append([bmin, bmax, -1, 0, -1])  # min,max,first,count,skip
-        if idx.size <= leaf_size:
+        parts = None
+        if idx.size > leaf_size:
+            if method == "sah":
+                parts = _sah_partition(lo, hi, idx)
+            else:
+                centers = (lo[idx] + hi[idx]) * 0.5
+                axis = int(np.argmax(bmax - bmin))  # longest axis
+                med = np.argsort(centers[:, axis], kind="stable")
+                half = idx.size // 2
+                parts = (idx[med[:half]], idx[med[half:]])
+        if parts is None:
             nodes[my][2] = len(perm)
             nodes[my][3] = idx.size
             perm.extend(idx.tolist())
         else:
-            centers = (lo[idx] + hi[idx]) * 0.5
-            axis = int(np.argmax(bmax - bmin))  # longest axis
-            med = np.argsort(centers[:, axis], kind="stable")
-            half = idx.size // 2
-            rec(idx[med[:half]])
-            rec(idx[med[half:]])
+            rec(parts[0])
+            rec(parts[1])
         ends[my] = len(nodes)  # index just past my subtree (DFS layout)
         return my
 
@@ -114,12 +179,14 @@ def _build_nodes(lo: np.ndarray, hi: np.ndarray, leaf_size: int):
 
 
 def build_bvh(lo: np.ndarray, hi: np.ndarray,
-              leaf_size: int = LEAF_SIZE_DEFAULT) -> FlatBVH:
+              leaf_size: int = LEAF_SIZE_DEFAULT,
+              method: str = "median") -> FlatBVH:
     """Build from per-primitive AABBs (P,3)+(P,3).
 
-    Uses the native C++ builder (native/rt_native.cpp) when available -
-    same layout and topology, ~100x faster for large scenes - with the
-    numpy builder as fallback."""
+    method 'median' uses the native C++ builder (native/rt_native.cpp)
+    when available - same layout and topology, ~100x faster for large
+    scenes - with the numpy builder as fallback. 'sah' (binned
+    surface-area heuristic) builds in numpy."""
     lo = np.asarray(lo, np.float32)
     hi = np.asarray(hi, np.float32)
     if lo.shape[0] == 0:

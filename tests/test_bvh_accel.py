@@ -109,6 +109,47 @@ def test_closest_hit_accel_equivalence():
                                   np.asarray(accel.front_face)[h])
 
 
+def test_sah_build_equivalence_and_invariants():
+    """The binned-SAH builder (build_bvh method='sah') must satisfy the
+    FlatBVH structural invariants and yield the same closest hits as
+    brute force on an irregular cluster layout (where SAH actually picks
+    different splits from the median builder)."""
+    r = np.random.default_rng(7)
+    # three dense clusters + sparse outliers: median splits cut clusters
+    c = np.concatenate([r.normal(loc, 0.6, (40, 3)) for loc in
+                        ((-8, 0, 0), (6, 5, -2), (0, -6, 7))]
+                       + [r.uniform(-12, 12, (8, 3))]).astype(np.float32)
+    rad = r.uniform(0.2, 0.5, c.shape[0]).astype(np.float32)
+    lo, hi = c - rad[:, None], c + rad[:, None]
+    tree = bvh_mod.build_bvh(lo, hi, leaf_size=4, method="sah")
+    n_nodes = int(tree.node_min.shape[0])
+    perm = np.asarray(tree.prim_index)
+    assert sorted(perm.tolist()) == list(range(c.shape[0]))
+    cnt = np.asarray(tree.node_count)
+    first = np.asarray(tree.node_first)
+    skip = np.asarray(tree.node_skip)
+    assert cnt.max() <= tree.leaf_size
+    assert ((skip > np.arange(n_nodes)) & (skip <= n_nodes)).all()
+    leaves = cnt > 0
+    assert cnt[leaves].sum() == c.shape[0]
+    # leaf slots are the DFS-ordered partition of the permutation
+    assert (np.sort(first[leaves]) == np.cumsum(
+        np.concatenate([[0], cnt[leaves][np.argsort(first[leaves])]]))
+        [:-1]).all()
+    origin, direction = _rand_rays(2048, seed=3)
+    t_sah, pid_sah = bvh_mod.closest_hit_bvh(tree, jnp.asarray(c),
+                                             jnp.asarray(rad),
+                                             origin, direction)
+    med = bvh_mod.build_bvh(lo, hi, leaf_size=4)
+    t_med, pid_med = bvh_mod.closest_hit_bvh(med, jnp.asarray(c),
+                                             jnp.asarray(rad),
+                                             origin, direction)
+    np.testing.assert_allclose(np.asarray(t_sah), np.asarray(t_med),
+                               rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(pid_sah),
+                                  np.asarray(pid_med))
+
+
 def test_closest_hit_accel_respects_t_max():
     scene, _ = scene_mod.from_dict(_mixed_geom(with_plane=False))
     origin, direction = _rand_rays(1024, seed=3)
