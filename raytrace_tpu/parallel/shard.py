@@ -158,16 +158,22 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
         o_c, d_c = renderer_mod._lane_rays(
             scene, pix_lanes, samp_lanes, width=width, height=height,
             cfg=cfg, go_camera=go_camera)
-        rad = megakernel.trace_pallas(scene, o_c, d_c, pix_lanes,
-                                      samp_lanes, cfg,
-                                      block_rows=block_rows)
+        # Same survivor re-compaction policy as the single-chip driver
+        # (renderer.pick_split); each device re-packs its own band's
+        # survivors locally - no cross-device traffic. A survivor-cap
+        # overflow joins the psum'ed overflow (both mean: re-render,
+        # with a larger px_capacity or with RT_NO_SPLIT=1).
+        rad, s_ov = renderer_mod.trace_with_split(
+            scene, o_c, d_c, pix_lanes, samp_lanes, cfg,
+            block_rows=block_rows,
+            split=renderer_mod.pick_split(scene, cfg))
         px_sum = rad.reshape(px_capacity, samples, 3).sum(axis=1)
         valid = jnp.arange(px_capacity) < jnp.minimum(k_px, px_capacity)
         tgt = jnp.where(valid, cidx, n_px_local)
         img = jnp.zeros((n_px_local, 3), rad.dtype).at[tgt].add(
             px_sum, mode="drop") / samples
         return (img.reshape(rows_local, width, 3),
-                jax.lax.psum(overflow, "px"))
+                jax.lax.psum(overflow + s_ov, "px"))
 
     # check_vma=False: pallas_call out_shapes don't carry varying-axes
     # metadata, which the vma type checker would otherwise demand.

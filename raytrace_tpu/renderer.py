@@ -245,6 +245,49 @@ def _compact_and_trace(scene, hit_px, pos_px, k_px, *, k_pad: int,
         surv_cap=surv_cap)
 
 
+def trace_with_split(scene, origin, direction, pix, samp, cfg, *,
+                     block_rows: int, split: int = 0, surv_cap: int = 0):
+    """trace_pallas with optional mid-trace survivor re-compaction.
+
+    With split > 0 the trace runs bounces [0, split) over all lanes,
+    compacts the lanes still alive into `surv_cap` slots (one cumsum +
+    one scatter of lane ids + cheap gathers), and finishes
+    [split, max_depth) on the compacted wavefront - the bounce-tail cost
+    becomes proportional to SURVIVING blocks instead of all blocks.
+    Returns (radiance (B,3), overflow): overflow > 0 means surv_cap was
+    too small and the overflowed lanes' tail radiance was dropped -
+    callers must re-render unsplit (bit-comparable either way: RNG
+    streams key off absolute bounce indices; the only difference is the
+    radA + radB float reassociation, ~1e-7 relative).
+    """
+    n_lanes = origin.shape[0]
+    if split <= 0 or cfg.max_depth <= split:
+        rad = megakernel.trace_pallas(scene, origin, direction, pix,
+                                      samp, cfg, block_rows=block_rows)
+        return rad, jnp.int32(0)
+    if surv_cap <= 0:
+        surv_cap = _auto_surv_cap(n_lanes, block_rows)
+    radA, st = megakernel.trace_pallas(
+        scene, origin, direction, pix, samp, cfg,
+        block_rows=block_rows, end_bounce=split, return_state=True)
+    alive = st["alive"] > 0.0
+    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    k_surv = pos[-1] + 1
+    overflow = jnp.maximum(0, k_surv - surv_cap)
+    target = jnp.where(alive, jnp.minimum(pos, surv_cap - 1), surv_cap)
+    sidx = jnp.zeros((surv_cap,), jnp.int32).at[target].set(
+        jnp.arange(n_lanes, dtype=jnp.int32), mode="drop")
+    valid_s = jnp.arange(surv_cap) < jnp.minimum(k_surv, surv_cap)
+    take = lambda a: jnp.take(a, sidx, axis=0)
+    radB = megakernel.trace_pallas(
+        scene, take(st["origin"]), take(st["direction"]),
+        take(pix), take(samp), cfg, block_rows=block_rows,
+        start_bounce=split, init_throughput=take(st["throughput"]),
+        init_alive=jnp.where(valid_s, take(st["alive"]), 0.0))
+    radB = jnp.where(valid_s[:, None], radB, 0.0)
+    return radA.at[sidx].add(radB, mode="drop"), overflow
+
+
 @partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
                                    "go_camera", "block_rows", "split",
                                    "surv_cap"))
@@ -268,7 +311,6 @@ def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
     """
     k_pad = px_cidx.shape[0]
     n_px = width * height
-    n_lanes = k_pad * samples
     # (Sorting compacted pixels by primary-hit material was tried and
     # measured SLOWER: ascending-pixel order is already spatially
     # coherent, and the sort/gather overhead exceeds the early-exit gain.)
@@ -278,30 +320,9 @@ def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
                                    height=height, cfg=cfg,
                                    go_camera=go_camera)
 
-    if split <= 0 or cfg.max_depth <= split:
-        rad = megakernel.trace_pallas(scene, origin, direction, pix_c,
-                                      samp_c, cfg, block_rows=block_rows)
-        overflow = jnp.int32(0)
-    else:
-        radA, st = megakernel.trace_pallas(
-            scene, origin, direction, pix_c, samp_c, cfg,
-            block_rows=block_rows, end_bounce=split, return_state=True)
-        alive = st["alive"] > 0.0
-        pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
-        k_surv = pos[-1] + 1
-        overflow = jnp.maximum(0, k_surv - surv_cap)
-        target = jnp.where(alive, jnp.minimum(pos, surv_cap - 1), surv_cap)
-        sidx = jnp.zeros((surv_cap,), jnp.int32).at[target].set(
-            jnp.arange(n_lanes, dtype=jnp.int32), mode="drop")
-        valid_s = jnp.arange(surv_cap) < jnp.minimum(k_surv, surv_cap)
-        take = lambda a: jnp.take(a, sidx, axis=0)
-        radB = megakernel.trace_pallas(
-            scene, take(st["origin"]), take(st["direction"]),
-            take(pix_c), take(samp_c), cfg, block_rows=block_rows,
-            start_bounce=split, init_throughput=take(st["throughput"]),
-            init_alive=jnp.where(valid_s, take(st["alive"]), 0.0))
-        radB = jnp.where(valid_s[:, None], radB, 0.0)
-        rad = radA.at[sidx].add(radB, mode="drop")
+    rad, overflow = trace_with_split(
+        scene, origin, direction, pix_c, samp_c, cfg,
+        block_rows=block_rows, split=split, surv_cap=surv_cap)
 
     px_sum = rad.reshape(k_pad, samples, 3).sum(axis=1)
     # Padding slots repeat pixel 0; drop them instead of double-adding.
@@ -314,29 +335,32 @@ def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
 
 @partial(jax.jit, static_argnames=("k_pad", "width", "height", "samples",
                                    "cfg", "go_camera", "block_rows",
-                                   "post"))
+                                   "post", "split", "surv_cap"))
 def _render_fused(scene, *, k_pad: int, width: int, height: int,
                   samples: int, cfg: trace_mod.TraceConfig,
-                  go_camera: bool, block_rows: int, post=None):
+                  go_camera: bool, block_rows: int, post=None,
+                  split: int = 0, surv_cap: int = 0):
     """Whole wavefront render in ONE dispatch, given a capacity k_pad.
 
-    Returns (img, k_px): the caller must check k_px <= k_pad - if the
-    hit-pixel count exceeded the speculative capacity, pixels were dropped
-    and the render must be redone with a larger k_pad. Used for
-    steady-state renders (same scene/resolution) where the capacity from
-    the previous frame is almost always still right, collapsing the
-    mask -> count -> trace sequence into a single RPC round-trip.
+    Returns (img, k_px, overflow): the caller must check k_px <= k_pad -
+    if the hit-pixel count exceeded the speculative capacity, pixels were
+    dropped and the render must be redone with a larger k_pad - and
+    overflow == 0 (survivor re-compaction capacity held; see
+    _trace_compacted_pixels). Used for steady-state renders (same
+    scene/resolution) where the capacity from the previous frame is
+    almost always still right, collapsing the mask -> count -> trace
+    sequence into a single RPC round-trip.
     """
     hit_px, pos_px, k_px = _pixel_mask.__wrapped__(
         scene, width=width, height=height, samples=samples, cfg=cfg,
         go_camera=go_camera)
-    img, _ = _compact_and_trace.__wrapped__(
+    img, overflow = _compact_and_trace.__wrapped__(
         scene, hit_px, pos_px, k_px, k_pad=k_pad, width=width,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
-        block_rows=block_rows)
+        block_rows=block_rows, split=split, surv_cap=surv_cap)
     if post is not None:
         img = post(img)
-    return img, k_px
+    return img, k_px, overflow
 
 
 # Speculative capacity cache for the fused path: config -> last k_pad.
@@ -358,14 +382,20 @@ def _pad_bucket(k: int, quantum: int) -> int:
     return quantum * (1 << (blocks - 1).bit_length())
 
 
-# Deferred capacity flags from assume_capacity frames: (key, k_dev, k_pad).
+# Deferred capacity flags from assume_capacity frames:
+# (key, k_dev, k_pad, overflow_dev).
 _PENDING_CHECKS: list = []
+
+# Configs whose survivor re-compaction capacity overflowed: render
+# unsplit from then on (pick_split policy misfits the scene).
+_SPLIT_BLACKLIST: set = set()
 
 
 def flush_capacity_checks() -> int:
     """Sync the deferred per-frame capacity flags from assume_capacity
     renders and raise if any frame overflowed its speculative capacity
-    (i.e. silently dropped pixels because the scene changed).
+    (i.e. silently dropped pixels because the scene changed) or its
+    survivor re-compaction capacity (split trace dropped live lanes).
 
     Callers batching device-resident frames (bench.py) call this once per
     batch: ONE host transfer for the whole batch - the flags are stacked
@@ -376,8 +406,18 @@ def flush_capacity_checks() -> int:
     pending, _PENDING_CHECKS = _PENDING_CHECKS, []
     if not pending:
         return 0
-    ks = np.asarray(jnp.stack([k_dev for _, k_dev, _ in pending]))
-    for (key, _, k_pad), k in zip(pending, ks):
+    ks = np.asarray(jnp.stack(
+        [jnp.stack([jnp.asarray(k_dev, jnp.int32),
+                    jnp.asarray(ov, jnp.int32)])
+         for _, k_dev, _, ov in pending]))
+    for (key, _, k_pad, _), (k, ov) in zip(pending, ks):
+        if int(ov) > 0:
+            _SPLIT_BLACKLIST.add(key)
+            raise RuntimeError(
+                f"assume_capacity render overflowed the survivor "
+                f"re-compaction capacity by {int(ov)} lanes; re-render "
+                f"without assume_capacity (the config now renders "
+                f"unsplit)")
         if int(k) > k_pad:
             _KPAD_CACHE.pop(key, None)  # force revalidation next frame
             raise RuntimeError(
@@ -385,6 +425,38 @@ def flush_capacity_checks() -> int:
                 f"{int(k)} exceeded cached capacity {k_pad}; the scene "
                 f"changed - re-render without assume_capacity")
     return len(pending)
+
+
+def _auto_surv_cap(n_lanes: int, block_rows: int) -> int:
+    """Survivor re-compaction capacity: ring-profile measurement shows
+    ~1% of lanes alive past bounce 1; 1/8 of the wavefront
+    (block-rounded) is a 12x margin while still re-packing survivors
+    into ~1/8 of the blocks. Overflow is reported, never silent."""
+    blk = block_rows * megakernel.LANE
+    return min(-(-n_lanes // blk) * blk,
+               -(-max(1, n_lanes // 8) // blk) * blk)
+
+
+def pick_split(scene, cfg) -> int:
+    """Mid-trace survivor re-compaction bounce for deep traces.
+
+    bvh-mode (large) scenes: the per-bounce live-lane profile on the
+    ring-N benchmark scenes drops to ~1% after bounce 1, yet bounces
+    2..max_depth cost ~75% of the frame (tools/ablate_ring1000.py) -
+    the packet walk's cost is per BLOCK, and the few survivors are
+    spread across every block, so block early-exit never fires.
+    Splitting the trace at bounce 2 re-packs the survivors into ~1% of
+    the blocks for the remaining 48 bounces. unroll-mode scenes keep
+    split=0: their bounce tails are nearly free already (bounces 2..50
+    measured ~10 ms total on the headline scene) and the re-compaction
+    scatter would be pure overhead. RT_NO_SPLIT=1 disables (A/B knob).
+    """
+    import os
+    if os.environ.get("RT_NO_SPLIT", "") == "1":
+        return 0
+    if megakernel._kernel_mode(scene) == "bvh" and cfg.max_depth > 4:
+        return 2
+    return 0
 
 
 def pick_block_rows(scene) -> int:
@@ -420,32 +492,45 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
     # Quantum: pixels per pallas block (block lanes / spp), >= 1.
     quantum = max(1, (block_rows * megakernel.LANE) // max(1, samples))
     cache_key = (width, height, samples, cfg, go_camera, block_rows, post)
+    split = 0 if cache_key in _SPLIT_BLACKLIST else pick_split(scene, cfg)
 
     k_pad = _KPAD_CACHE.get(cache_key)
     if k_pad is not None:
         # Speculative single-dispatch path with last frame's capacity.
-        img, k_dev = _render_fused(
+        img, k_dev, ov_dev = _render_fused(
             scene, k_pad=k_pad, width=width, height=height,
             samples=samples, cfg=cfg, go_camera=go_camera,
-            block_rows=block_rows, post=post)
+            block_rows=block_rows, post=post, split=split,
+            surv_cap=_auto_surv_cap(k_pad * samples, block_rows))
         if assume_capacity:
             # Caller asserts the scene is unchanged since a validated
             # render: skip the capacity-check sync so back-to-back frames
             # pipeline with no host round-trip (per-call RPC latency
-            # dominates on a tunneled TPU). The device-side flag is still
-            # RECORDED - callers validate a whole batch with one sync via
-            # flush_capacity_checks(), so a stale capacity can no longer
-            # drop pixels silently.
-            _PENDING_CHECKS.append((cache_key, k_dev, k_pad))
+            # dominates on a tunneled TPU). The device-side flags are
+            # still RECORDED - callers validate a whole batch with one
+            # sync via flush_capacity_checks(), so a stale capacity (or a
+            # survivor-compaction overflow) can no longer drop pixels
+            # silently.
+            _PENDING_CHECKS.append((cache_key, k_dev, k_pad, ov_dev))
             if len(_PENDING_CHECKS) > 1024:  # backstop: force validation
                 flush_capacity_checks()
             return np.asarray(img) if as_numpy else img
-        k_px = int(k_dev)  # scalar sync; the image stays on device
-        want = min(_pad_bucket(max(k_px, 1), quantum), width * height)
-        if k_px <= k_pad and k_pad <= max(2 * want, quantum):
-            _kpad_cache_put(cache_key, want if k_px > 0 else k_pad)
-            return np.asarray(img) if as_numpy else img
-        # capacity stale (scene changed): fall through and redo.
+        # One transfer syncs both scalars; the image stays on device.
+        k_px, ov = (int(v) for v in
+                    np.asarray(jnp.stack([jnp.asarray(k_dev, jnp.int32),
+                                          jnp.asarray(ov_dev, jnp.int32)])))
+        if ov > 0:
+            # Survivor capacity overflowed (scene keeps >1/8 of lanes
+            # alive past the split - e.g. an enclosed box). Redo unsplit
+            # below and stop splitting this config.
+            _SPLIT_BLACKLIST.add(cache_key)
+            split = 0
+        else:
+            want = min(_pad_bucket(max(k_px, 1), quantum), width * height)
+            if k_px <= k_pad and k_pad <= max(2 * want, quantum):
+                _kpad_cache_put(cache_key, want if k_px > 0 else k_pad)
+                return np.asarray(img) if as_numpy else img
+        # capacity stale (scene changed) or overflow: fall through, redo.
 
     hit_px, pos_px, k_dev = _pixel_mask(
         scene, width=width, height=height, samples=samples, cfg=cfg,
@@ -459,10 +544,17 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
 
     k_pad = min(_pad_bucket(k_px, quantum), width * height)
     _kpad_cache_put(cache_key, k_pad)
-    img, _ = _compact_and_trace(
+    img, ov_dev = _compact_and_trace(
         scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad, width=width,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
-        block_rows=block_rows)
+        block_rows=block_rows, split=split,
+        surv_cap=_auto_surv_cap(k_pad * samples, block_rows))
+    if split > 0 and int(ov_dev) > 0:  # first frame for this config
+        _SPLIT_BLACKLIST.add(cache_key)
+        img, ov_dev = _compact_and_trace(
+            scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad,
+            width=width, height=height, samples=samples, cfg=cfg,
+            go_camera=go_camera, block_rows=block_rows, split=0)
     if post is not None:
         img = post(img)  # first frame only; steady state fuses it
     return np.asarray(img) if as_numpy else img

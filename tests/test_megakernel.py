@@ -468,3 +468,85 @@ def test_pixel_cone_mask_conservative():
             mk.UNROLL_PRIM_LIMIT = orig
         missed2 = oracle & ~cone2
         assert not missed2.any(), (trial, int(missed2.sum()))
+
+
+def _ring_bvh_scene(enclosed=False):
+    """Small ring scene forced into bvh mode (UNROLL_PRIM_LIMIT patched by
+    callers). enclosed=True wraps everything in a giant lambertian shell
+    so rays never escape - the survivor re-compaction worst case."""
+    import math
+    from raytrace_tpu import scene as scene_mod
+    objs = [{"type": "sphere", "position": [0, -1000.5, 0],
+             "radius": 1000,
+             "material": {"type": "lambertian", "color": [0.5, 0.5, 0.5]}}]
+    for i in range(12):
+        a = 2 * math.pi * i / 12
+        objs.append({"type": "sphere",
+                     "position": [3 * math.cos(a), 0.0, 3 * math.sin(a)],
+                     "radius": 0.5,
+                     "material": {"type": ["lambertian", "metal",
+                                           "glass"][i % 3],
+                                  "color": [0.7, 0.5, 0.4],
+                                  "roughness": 0.1}})
+    if enclosed:
+        objs.append({"type": "sphere", "position": [0, 0, 0],
+                     "radius": 60.0,
+                     "material": {"type": "lambertian",
+                                  "color": [0.7, 0.7, 0.7]}})
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 2, 9], "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [4, 8, 3],
+                    "color": [1, 1, 1], "intensity": 2.0}]})
+    return scene_mod.with_accel(s)
+
+
+def test_split_survivor_compaction_matches_unsplit(monkeypatch):
+    """renderer.pick_split re-compacts bvh-mode survivors at bounce 2
+    (the ring scenes spend ~75% of the frame on <=1% live lanes spread
+    over every block); the split render must match the unsplit one."""
+    s = _ring_bvh_scene()
+    cfg = trace_mod.TraceConfig(max_depth=6, shadow_samples=2)
+    orig = mk.UNROLL_PRIM_LIMIT
+    mk.UNROLL_PRIM_LIMIT = 8
+    try:
+        assert mk._kernel_mode(s) == "bvh"
+        assert renderer_mod.pick_split(s, cfg) == 2
+        img_split = renderer_mod.render_wavefront(
+            s, width=8, height=6, samples=1, cfg=cfg)
+        monkeypatch.setenv("RT_NO_SPLIT", "1")
+        assert renderer_mod.pick_split(s, cfg) == 0
+        img_unsplit = renderer_mod.render_wavefront(
+            s, width=8, height=6, samples=1, cfg=cfg)
+    finally:
+        mk.UNROLL_PRIM_LIMIT = orig
+    assert np.max(img_split) > 0.0
+    # fp reassociation only: radiance = radA + radB per lane.
+    np.testing.assert_allclose(img_split, img_unsplit, atol=1e-5)
+
+
+def test_split_overflow_blacklists_and_falls_back(monkeypatch):
+    """An enclosed scene keeps ~every lane alive past the split, so the
+    survivor capacity (1/8 of the wavefront) overflows: the renderer
+    must detect it, redo the frame unsplit, and blacklist the config -
+    never silently drop the survivors' radiance."""
+    s = _ring_bvh_scene(enclosed=True)
+    cfg = trace_mod.TraceConfig(max_depth=6, shadow_samples=2)
+    orig = mk.UNROLL_PRIM_LIMIT
+    mk.UNROLL_PRIM_LIMIT = 8
+    # The block-rounded auto capacity always covers a tiny test frame;
+    # pin it to 4 lanes so the enclosed scene's survivors overflow it.
+    monkeypatch.setattr(renderer_mod, "_auto_surv_cap",
+                        lambda n_lanes, block_rows: 4)
+    try:
+        assert renderer_mod.pick_split(s, cfg) == 2
+        before = len(renderer_mod._SPLIT_BLACKLIST)
+        img = renderer_mod.render_wavefront(
+            s, width=8, height=6, samples=1, cfg=cfg)
+        assert len(renderer_mod._SPLIT_BLACKLIST) == before + 1
+        monkeypatch.setenv("RT_NO_SPLIT", "1")
+        ref = renderer_mod.render_wavefront(
+            s, width=8, height=6, samples=1, cfg=cfg)
+    finally:
+        mk.UNROLL_PRIM_LIMIT = orig
+    np.testing.assert_allclose(img, ref, atol=1e-6)
