@@ -558,6 +558,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         samp = samp_ref[:]
 
         if mode == "bvh":
+            soft_guard_fn = None  # the fused cone walk subsumes the guard
             # ---- packet BVH walk over the scene tree in SMEM ----------
             iv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
@@ -999,6 +1000,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 return unb * np.float32(1.0 / ss)
         elif loop_mode:
             soft_fused_fn = None
+            soft_guard_fn = None
 
             def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
                 return closest_hit_loop(sph, tri, pln, ox, oy, oz,
@@ -1028,6 +1030,77 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             def occl_test_fn(pre, ddx, ddy, ddz, tmax):
                 return any_hit_pre(pre[0], pre[1], pre[2], pln, tri,
                                    ddx, ddy, ddz, tmax)
+
+            def soft_guard_fn(pre, need_f, ldx, ldy, ldz, dist):
+                """Scalar per-block guard: can ANY primitive block ANY of
+                the jittered soft-shadow rays of any needing lane?
+
+                Interval arithmetic on the sphere quadratic: every
+                jittered unit direction sd satisfies |sd.oc - ld.oc| <=
+                0.10013*|oc| (chord of the asin(0.1) cone; 0.102 used
+                for margin), so u = sd.oc lies in [u_lo, u_hi]. A sample
+                reports 'blocked' only if the quadratic
+                t^2 + 2ut + cc = 0 has a root in [t_min, dist]; the
+                largest positive root over the interval is
+                -u_lo + sqrt(u_lo^2 - cc), so the guard can prove every
+                verdict is 'unblocked' (sf = 1 BIT-EXACT - cc here IS
+                the cc the sample tests use, from the same sph_pre).
+                One test per primitive vs the 16-sample loop's 16; the
+                win is every block fully in the open. Triangles are
+                covered by bounding spheres, planes by point-to-plane
+                distance <= dist."""
+                sph_pre, tri_pre, pl_pre = pre
+                eps_t = np.float32(1e-4)
+                eps_cc = np.float32(1e-4)
+                cone = np.float32(0.102)
+                can = jnp.zeros(need_f.shape)
+
+                def sphere_guard(ocx, ocy, ocz, cc, r):
+                    oc2 = cc + r * r
+                    g = ocx * ldx + ocy * ldy + ocz * ldz
+                    u_lo = g - cone * jnp.sqrt(oc2)
+                    slack = eps_cc + np.float32(1e-6) * oc2
+                    disc_lo = u_lo * u_lo - cc
+                    root_max = -u_lo + jnp.sqrt(jnp.maximum(disc_lo, 0.0))
+                    has = ((cc <= slack)
+                           | ((u_lo <= 0.0) & (disc_lo >= -slack)))
+                    # far bound: the center's projection on the central
+                    # line must fall within the (inflated) segment for
+                    # any hit at t <= dist.
+                    R = r + cone * dist + eps_cc
+                    hit = has & (root_max >= t_min - eps_t) & (-g <= dist + R)
+                    return jnp.where(need_f * jnp.where(hit, 1.0, 0.0)
+                                     > 0.0, 1.0, 0.0)
+
+                for j, (ocx, ocy, ocz, cc) in enumerate(sph_pre):
+                    can = jnp.maximum(
+                        can, sphere_guard(ocx, ocy, ocz, cc, sph[3, j]))
+                for j, (sx, sy, sz, _, _, _, _) in enumerate(tri_pre):
+                    # triangle bounding sphere: scalar centroid m =
+                    # v0 + (e1+e2)/3 and max-vertex radius; the per-lane
+                    # oc shifts the precomputed s = p - v0 by (m - v0).
+                    e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
+                    e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
+                    mx = (e1x + e2x) * np.float32(1.0 / 3.0)
+                    my = (e1y + e2y) * np.float32(1.0 / 3.0)
+                    mz = (e1z + e2z) * np.float32(1.0 / 3.0)
+                    d0 = mx * mx + my * my + mz * mz
+                    d1 = ((e1x - mx) ** 2 + (e1y - my) ** 2
+                          + (e1z - mz) ** 2)
+                    d2 = ((e2x - mx) ** 2 + (e2y - my) ** 2
+                          + (e2z - mz) ** 2)
+                    br = jnp.sqrt(jnp.maximum(d0, jnp.maximum(d1, d2)))
+                    ocx, ocy, ocz = sx - mx, sy - my, sz - mz
+                    oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+                    can = jnp.maximum(
+                        can, sphere_guard(ocx, ocy, ocz, oc2 - br * br,
+                                          br))
+                for num in pl_pre:
+                    hit = jnp.abs(num) <= dist + eps_cc
+                    can = jnp.maximum(
+                        can, jnp.where(need_f * jnp.where(hit, 1.0, 0.0)
+                                       > 0.0, 1.0, 0.0))
+                return jnp.max(can) > 0.0
 
         def cond(c):
             bounce, alive_f = c[0], c[13]
@@ -1218,9 +1291,22 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                 return unblocked * np.float32(
                                     1.0 / shadow_samples)
 
+                        need_f = jnp.where(need, 1.0, 0.0)
+                        if soft_guard_fn is not None:
+                            # Conservative interval guard: when no
+                            # primitive can put a root in any needing
+                            # lane's [t_min, dist] for ANY cone
+                            # direction, every sample verdict is
+                            # 'unblocked' and sf = 1 is bit-exact - the
+                            # 16-sample loop is skipped. (run is also
+                            # false when no lane needs; need_f is then
+                            # all-zero, matching the old skip.)
+                            run = soft_guard_fn(occl_pre, need_f,
+                                                ldx, ldy, ldz, dist)
+                        else:
+                            run = jnp.any(need)
                         soft_sf = jax.lax.cond(
-                            jnp.any(need), _soft,
-                            lambda _: jnp.zeros(px.shape), 0)
+                            run, _soft, lambda _: need_f, 0)
                         sf = jnp.where(hard, 0.0, soft_sf)
                     else:
                         sf = jnp.where(hard, 0.0, 1.0)

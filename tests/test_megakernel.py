@@ -550,3 +550,32 @@ def test_split_overflow_blacklists_and_falls_back(monkeypatch):
     finally:
         mk.UNROLL_PRIM_LIMIT = orig
     np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_soft_guard_giant_ground_matches_oracle():
+    """The interval soft-shadow guard must stay bit-exact on the
+    two_red_cubes shape: a giant ground sphere (r=1000, fp-noisy cc at
+    scale) with cubes casting real shadows under an overhead light. A
+    wrong skip erases penumbras; a wrong flag only costs speed."""
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 1.5, 6], "aspectRatio": 1.33},
+        "objects": [
+            {"type": "sphere", "position": [0, -1000.5, 0],
+             "radius": 1000,
+             "material": {"type": "lambertian", "color": [0.5, 0.5, 0.5]}},
+            {"type": "cube", "position": [-1.2, 0, 0], "size": [1, 1, 1],
+             "material": {"type": "lambertian", "color": [0.8, 0.2, 0.2]}},
+            {"type": "cube", "position": [1.2, 0.2, -1], "size": [0.8] * 3,
+             "material": {"type": "metal", "color": [0.7, 0.7, 0.8],
+                          "roughness": 0.1}},
+        ],
+        "lights": [{"type": "point", "position": [1, 9, 2],
+                    "color": [1, 1, 1], "intensity": 4.0}]})
+    cfg = trace_mod.TraceConfig(max_depth=2, shadow_samples=4)
+    o, d, pix, samp = _lanes(s, 12, 8, 1, cfg)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg))
+    out = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                     interpret=True))
+    assert np.max(ref) > 0.0
+    # the frame must contain actual shadow variation for this to bite
+    np.testing.assert_allclose(out, ref, atol=1e-4)
