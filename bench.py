@@ -38,7 +38,35 @@ def find_scene() -> str:
     raise FileNotFoundError("sphere_reflections_light.json not found")
 
 
+def wait_for_device(attempts: int = 6, probe_timeout_s: float = 300.0,
+                    pause_s: float = 120.0) -> None:
+    """Ride out tunnel outages: the dev TPU is reached through a relay
+    that sometimes drops for minutes, and a dead tunnel makes backend
+    init HANG (not raise) - so probe in a subprocess under a timeout and
+    retry before committing this process to a possibly-dead backend."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; "
+            "jnp.zeros((2, 2)).block_until_ready(); print('ok')")
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout_s,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i == attempts - 1:
+            print("device probe never succeeded; proceeding anyway",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"device probe failed; retrying in {pause_s:.0f}s "
+              f"[{i + 1}/{attempts}]", file=sys.stderr, flush=True)
+        time.sleep(pause_s)
+
+
 def main() -> int:
+    wait_for_device()
     import raytrace_tpu as rt
 
     with open(find_scene()) as f:
