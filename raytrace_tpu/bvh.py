@@ -66,6 +66,116 @@ class FlatBVH:
     # Static: max primitives per leaf (the traversal unroll bound).
     leaf_size: int = dataclasses.field(default=4,
                                        metadata=dict(static=True))
+    # Optional 4-wide view (see widen4): the megakernel's stack walk does
+    # ~4x fewer latency-bound node steps than the binary skip walk.
+    wide4: Optional["WideBVH4"] = None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WideBVH4:
+    """4-ary collapse of a FlatBVH for the TPU packet walk.
+
+    Each wide node holds up to 4 slots (a binary node's leaf children
+    plus its inner children's children). The packet walk pops one wide
+    node, slab-tests all 4 slots (independent -> they pipeline, unlike
+    the binary walk's one serializing cross-lane reduce per node), runs
+    boxed leaf slots, and pushes boxed inner slots. Offline step counts
+    (tools/sim_bvh4.py): 0.22-0.26x the binary walk's steps on ring
+    scenes at leaf_size 16. Empty slots carry an inverted AABB so the
+    slab test can never pass. Shares the parent FlatBVH's prim_index.
+    """
+
+    slot_min: jax.Array    # (W,4,3)
+    slot_max: jax.Array    # (W,4,3)
+    slot_child: jax.Array  # (W,4) wide-node index for inner slots, -1 else
+    slot_first: jax.Array  # (W,4) first prim slot for leaf slots, -1 else
+    slot_count: jax.Array  # (W,4) prim count for leaf slots, 0 else
+    # Static: proven traversal stack bound (max live entries while
+    # popping depth-first with <=3 net pushes per pop).
+    max_stack: int = dataclasses.field(default=8,
+                                       metadata=dict(static=True))
+
+
+def widen4(flat: FlatBVH) -> WideBVH4:
+    """Collapse a binary FlatBVH into the 4-wide layout (host-side).
+
+    Binary children are recovered from the DFS+skip layout (left = i+1,
+    right = skip(left)). A wide node's slots are, per binary child:
+    the child itself when it is a leaf, else its two children.
+    """
+    nmin = np.asarray(flat.node_min, np.float32)
+    nmax = np.asarray(flat.node_max, np.float32)
+    nskip = np.asarray(flat.node_skip)
+    ncount = np.asarray(flat.node_count)
+    nfirst = np.asarray(flat.node_first)
+
+    def kids(i):
+        left = i + 1
+        return left, int(nskip[left])
+
+    smin, smax, schild, sfirst, scount = [], [], [], [], []
+
+    def emit(slots):
+        """slots: list of (binary node, wide child id or -1)."""
+        row_min = np.full((4, 3), _BIG, np.float32)
+        row_max = np.full((4, 3), -_BIG, np.float32)
+        row_c = np.full(4, -1, np.int32)
+        row_f = np.full(4, -1, np.int32)
+        row_n = np.zeros(4, np.int32)
+        for s, (b, w) in enumerate(slots):
+            row_min[s] = nmin[b]
+            row_max[s] = nmax[b]
+            row_c[s] = w
+            if ncount[b] > 0:
+                row_f[s] = nfirst[b]
+                row_n[s] = ncount[b]
+        smin.append(row_min)
+        smax.append(row_max)
+        schild.append(row_c)
+        sfirst.append(row_f)
+        scount.append(row_n)
+
+    depth = [0]
+
+    def rec(i, d):
+        """i: binary INNER node -> its wide node id."""
+        depth[0] = max(depth[0], d)
+        my = len(smin)
+        emit([])  # placeholder; filled below once children are known
+        slots = []
+        for c in kids(i):
+            if ncount[c] > 0:
+                slots.append((c, -1))
+            else:
+                for g in kids(c):
+                    slots.append((g, -1))
+        resolved = []
+        for b, _ in slots:
+            if ncount[b] > 0:
+                resolved.append((b, -1))
+            else:
+                resolved.append((b, rec(b, d + 1)))
+        # overwrite the placeholder row
+        save = len(smin)
+        emit(resolved)
+        for arr in (smin, smax, schild, sfirst, scount):
+            arr[my] = arr[save]
+            del arr[save]
+        return my
+
+    if ncount[0] > 0:  # root is a leaf: one wide node, slot 0 = root
+        emit([(0, -1)])
+    else:
+        rec(0, 1)
+    return WideBVH4(
+        slot_min=jnp.asarray(np.stack(smin)),
+        slot_max=jnp.asarray(np.stack(smax)),
+        slot_child=jnp.asarray(np.stack(schild)),
+        slot_first=jnp.asarray(np.stack(sfirst)),
+        slot_count=jnp.asarray(np.stack(scount)),
+        max_stack=3 * max(depth[0], 1) + 1,
+    )
 
 
 def _sah_partition(lo, hi, idx, n_bins=16):
@@ -250,7 +360,10 @@ def build_scene_bvh(geom, leaf_size: int = LEAF_SIZE_DEFAULT) -> FlatBVH:
     v2 = np.asarray(geom.tri_v2, np.float32)
     lo = np.concatenate([c - r, np.minimum(np.minimum(v0, v1), v2)], axis=0)
     hi = np.concatenate([c + r, np.maximum(np.maximum(v0, v1), v2)], axis=0)
-    return build_bvh(lo, hi, leaf_size)
+    tree = build_bvh(lo, hi, leaf_size)
+    # Attach the 4-wide view for the megakernel's stack walk (host-side
+    # collapse; must happen at scene build, not under jit).
+    return dataclasses.replace(tree, wide4=widen4(tree))
 
 
 def _aabb_hit(bmin, bmax, o, inv_d, t_min, t_max):

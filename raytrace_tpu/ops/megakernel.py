@@ -226,7 +226,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                  start_bounce: int = 0, end_bounce=None,
                  return_state: bool = False, mode: str = "unroll",
                  n_nodes: int = 0, advanced: bool = False,
-                 textures: tuple = ()):
+                 textures: tuple = (), wide: bool = False,
+                 max_stack: int = 0):
     """Build the kernel body for a scene shape (all sizes static).
 
     start_bounce/end_bounce bound the loop (RNG streams key off the
@@ -247,6 +248,14 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         lanes whose shading terms are provably zero start pre-marked
         blocked, so a block whose every relevant lane has resolved exits
         the walk early. Needs n_nodes and the extra bvh/pidx refs.
+
+    wide: in bvh mode, closest-hit uses a 4-ary STACK walk over the
+    WideBVH4 table (extra refs[2] + an SMEM scratch stack of max_stack
+    ints): each popped node slab-tests 4 slots whose cross-lane reduces
+    are mutually independent (they pipeline, where the binary skip walk
+    serializes one reduce per node step) and offline step counts are
+    0.22-0.26x the binary walk's (tools/sim_bvh4.py). Shadow walks stay
+    on the binary table (their early-out structure differs).
     """
     max_depth = cfg.max_depth if end_bounce is None else end_bounce
     shadow_samples = cfg.shadow_samples
@@ -548,6 +557,10 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         if mode == "bvh":
             bvh, pidx = refs[0], refs[1]
             i0 = 2
+            if wide:
+                bvh4 = refs[2]
+                stack_ref = refs[-1]  # SMEM scratch (after the outputs)
+                i0 = 3
         sph, tri, pln, lit, mtab = refs[i0:i0 + 5]
         pix_ref, samp_ref = refs[i0 + 5], refs[i0 + 6]
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -628,7 +641,31 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         jnp.where(win, pnz, nz),
                         jnp.where(win, pln[6, j], mat))
 
-            def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
+            def _leaf_closest(first, cnt, carry, ox, oy, oz, dx, dy, dz,
+                              a, inv_a):
+                """Run a leaf's primitive tests on the closest-hit carry
+                (traced first/cnt, sphere-vs-triangle dispatch on pid)."""
+                def lb(j, cy2):
+                    pid = pidx[0, first + j].astype(jnp.int32)
+                    if ns and nt:
+                        return jax.lax.cond(
+                            pid < ns,
+                            lambda c2: _sph_closest_row(
+                                pid, c2, ox, oy, oz, dx, dy, dz,
+                                a, inv_a),
+                            lambda c2: _tri_closest_row(
+                                pid - ns, c2, ox, oy, oz,
+                                dx, dy, dz),
+                            cy2)
+                    if ns:
+                        return _sph_closest_row(
+                            pid, cy2, ox, oy, oz, dx, dy, dz,
+                            a, inv_a)
+                    return _tri_closest_row(pid, cy2, ox, oy, oz,
+                                            dx, dy, dz)
+                return jax.lax.fori_loop(0, cnt, lb, carry)
+
+            def closest_fn_binary(ox, oy, oz, dx, dy, dz, alive_f):
                 shape = ox.shape
                 zeros = jnp.zeros(shape)
                 a = dx * dx + dy * dy + dz * dz
@@ -663,36 +700,90 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     cnt = bvh[8, cur].astype(jnp.int32)
                     is_leaf = cnt > 0
 
-                    def leafer(cy):
-                        def lb(j, cy2):
-                            pid = pidx[0, first + j].astype(jnp.int32)
-                            if ns and nt:
-                                return jax.lax.cond(
-                                    pid < ns,
-                                    lambda c2: _sph_closest_row(
-                                        pid, c2, ox, oy, oz, dx, dy, dz,
-                                        a, inv_a),
-                                    lambda c2: _tri_closest_row(
-                                        pid - ns, c2, ox, oy, oz,
-                                        dx, dy, dz),
-                                    cy2)
-                            if ns:
-                                return _sph_closest_row(
-                                    pid, cy2, ox, oy, oz, dx, dy, dz,
-                                    a, inv_a)
-                            return _tri_closest_row(pid, cy2, ox, oy, oz,
-                                                    dx, dy, dz)
-                        return jax.lax.fori_loop(0, cnt, lb, cy)
-
-                    carry = jax.lax.cond(boxed & is_leaf, leafer,
-                                         lambda cy: cy, carry)
+                    carry = jax.lax.cond(
+                        boxed & is_leaf,
+                        lambda cy: _leaf_closest(first, cnt, cy, ox, oy,
+                                                 oz, dx, dy, dz, a, inv_a),
+                        lambda cy: cy, carry)
                     nxt = jnp.where(boxed & (~is_leaf), cur + 1, skip)
                     return (nxt,) + carry
 
                 init = (jnp.int32(0), jnp.full(shape, BIG),
                         zeros, zeros, zeros, zeros)
                 out = jax.lax.while_loop(cond, body, init)
-                carry = out[1:]
+                return out[1:]
+
+            def closest_fn_wide(ox, oy, oz, dx, dy, dz, alive_f):
+                """4-ary stack walk over the WideBVH4 table: pop a node,
+                slab-test its 4 slots (independent reduces -> they
+                pipeline), run boxed leaf slots, push boxed inner slots.
+                ~4x fewer latency-bound steps than the binary skip walk
+                on ring scenes (tools/sim_bvh4.py)."""
+                shape = ox.shape
+                zeros = jnp.zeros(shape)
+                a = dx * dx + dy * dy + dz * dz
+                inv_a = 1.0 / a
+                ivx, ivy, ivz = iv(dx), iv(dy), iv(dz)
+
+                def cond(c):
+                    return c[0] > 0
+
+                def body(c):
+                    sp0 = c[0]
+                    carry = c[1:]
+                    t_best = carry[0]
+                    cur = stack_ref[sp0 - 1]
+                    boxed = []
+                    meta = []
+                    for s in range(4):
+                        b = 9 * s
+                        t0x = (bvh4[b + 0, cur] - ox) * ivx
+                        t1x = (bvh4[b + 3, cur] - ox) * ivx
+                        t0y = (bvh4[b + 1, cur] - oy) * ivy
+                        t1y = (bvh4[b + 4, cur] - oy) * ivy
+                        t0z = (bvh4[b + 2, cur] - oz) * ivz
+                        t1z = (bvh4[b + 5, cur] - oz) * ivz
+                        near = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+                        far = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+                        boxed.append(jnp.max(
+                            jnp.where(near <= far, alive_f, 0.0)) > 0.0)
+                        meta.append(
+                            (bvh4[b + 6, cur].astype(jnp.int32),
+                             bvh4[b + 7, cur].astype(jnp.int32),
+                             bvh4[b + 8, cur].astype(jnp.int32)))
+                    sp = sp0 - 1
+                    for s in range(4):
+                        child, first, cnt = meta[s]
+                        carry = jax.lax.cond(
+                            boxed[s] & (cnt > 0),
+                            lambda cy, f=first, n_=cnt: _leaf_closest(
+                                f, n_, cy, ox, oy, oz, dx, dy, dz,
+                                a, inv_a),
+                            lambda cy: cy, carry)
+                        push = boxed[s] & (child >= 0)
+                        # Unconditional store: sp only advances on push,
+                        # so a non-pushed slot's value is overwritten by
+                        # the next push or never read.
+                        stack_ref[sp] = child
+                        sp = sp + jnp.where(push, jnp.int32(1),
+                                            jnp.int32(0))
+                    return (sp,) + carry
+
+                stack_ref[0] = jnp.int32(0)
+                init = (jnp.int32(1), jnp.full(shape, BIG),
+                        zeros, zeros, zeros, zeros)
+                out = jax.lax.while_loop(cond, body, init)
+                return out[1:]
+
+            def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
+                walk = closest_fn_wide if wide else closest_fn_binary
+                carry = walk(ox, oy, oz, dx, dy, dz, alive_f)
                 if npl:
                     carry = jax.lax.fori_loop(
                         0, npl,
@@ -785,6 +876,19 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         return jnp.maximum(b, jnp.where(hit, 1.0, 0.0))
                     bf = jax.lax.fori_loop(0, npl, pb, bf)
 
+                def _leaf_any(first, cnt, b2):
+                    def lb(j, b3):
+                        pid = pidx[0, first + j].astype(jnp.int32)
+                        if ns and nt:
+                            return jax.lax.cond(
+                                pid < ns,
+                                lambda b: _sph_any(pid, b),
+                                lambda b: _tri_any(pid - ns, b), b3)
+                        if ns:
+                            return _sph_any(pid, b3)
+                        return _tri_any(pid, b3)
+                    return jax.lax.fori_loop(0, cnt, lb, b2)
+
                 def wcond(c):
                     return c[0] < n_nodes
 
@@ -812,29 +916,64 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     cnt = bvh[8, cur].astype(jnp.int32)
                     is_leaf = cnt > 0
 
-                    def leafer(b2):
-                        def lb(j, b3):
-                            pid = pidx[0, first + j].astype(jnp.int32)
-                            if ns and nt:
-                                return jax.lax.cond(
-                                    pid < ns,
-                                    lambda b: _sph_any(pid, b),
-                                    lambda b: _tri_any(pid - ns, b), b3)
-                            if ns:
-                                return _sph_any(pid, b3)
-                            return _tri_any(pid, b3)
-                        return jax.lax.fori_loop(0, cnt, lb, b2)
-
-                    bf2 = jax.lax.cond(boxed & is_leaf, leafer,
-                                       lambda b: b, bf2)
+                    bf2 = jax.lax.cond(
+                        boxed & is_leaf,
+                        lambda b: _leaf_any(first, cnt, b),
+                        lambda b: b, bf2)
                     done = jnp.min(bf2) >= 1.0
                     nxt = jnp.where(done, n_nodes,
                                     jnp.where(boxed & (~is_leaf),
                                               cur + 1, skip))
                     return nxt, bf2
 
-                _, bf = jax.lax.while_loop(wcond, wbody,
-                                           (jnp.int32(0), bf))
+                def wbody_wide(c):
+                    sp0, bf2 = c[0], c[1]
+                    cur = stack_ref[sp0 - 1]
+                    boxed = []
+                    meta = []
+                    for s in range(4):
+                        b = 9 * s
+                        t0x = (bvh4[b + 0, cur] - px_) * ivx
+                        t1x = (bvh4[b + 3, cur] - px_) * ivx
+                        t0y = (bvh4[b + 1, cur] - py_) * ivy
+                        t1y = (bvh4[b + 4, cur] - py_) * ivy
+                        t0z = (bvh4[b + 2, cur] - pz_) * ivz
+                        t1z = (bvh4[b + 5, cur] - pz_) * ivz
+                        near = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), t_min))
+                        far = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.minimum(jnp.maximum(t0z, t1z), tmax))
+                        boxed.append(jnp.max(jnp.where(
+                            (near <= far) & (bf2 < 1.0), 1.0, 0.0)) > 0.0)
+                        meta.append(
+                            (bvh4[b + 6, cur].astype(jnp.int32),
+                             bvh4[b + 7, cur].astype(jnp.int32),
+                             bvh4[b + 8, cur].astype(jnp.int32)))
+                    sp = sp0 - 1
+                    for s in range(4):
+                        child, first, cnt = meta[s]
+                        bf2 = jax.lax.cond(
+                            boxed[s] & (cnt > 0),
+                            lambda b, f=first, n_=cnt: _leaf_any(f, n_, b),
+                            lambda b: b, bf2)
+                        push = boxed[s] & (child >= 0)
+                        stack_ref[sp] = child
+                        sp = sp + jnp.where(push, jnp.int32(1),
+                                            jnp.int32(0))
+                    done = jnp.min(bf2) >= 1.0
+                    return jnp.where(done, jnp.int32(0), sp), bf2
+
+                if wide:
+                    stack_ref[0] = jnp.int32(0)
+                    _, bf = jax.lax.while_loop(
+                        lambda c: c[0] > 0, wbody_wide, (jnp.int32(1), bf))
+                else:
+                    _, bf = jax.lax.while_loop(wcond, wbody,
+                                               (jnp.int32(0), bf))
                 return bf > 0.0
 
             def soft_fused_fn(pre, need, ldx, ldy, ldz, dist, bounce_u,
@@ -942,6 +1081,19 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                             jnp.int32(0))
                     return b3
 
+                def _leaf_all(first, cnt, b2):
+                    def lb(j, b3):
+                        pid = pidx[0, first + j].astype(jnp.int32)
+                        if ns and nt:
+                            return jax.lax.cond(
+                                pid < ns,
+                                lambda b: _sph_all(pid, b),
+                                lambda b: _tri_all(pid - ns, b), b3)
+                        if ns:
+                            return _sph_all(pid, b3)
+                        return _tri_all(pid, b3)
+                    return jax.lax.fori_loop(0, cnt, lb, b2)
+
                 def wcond(c):
                     return c[0] < n_nodes
 
@@ -969,21 +1121,10 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     cnt = bvh[8, cur].astype(jnp.int32)
                     is_leaf = cnt > 0
 
-                    def leafer(b2):
-                        def lb(j, b3):
-                            pid = pidx[0, first + j].astype(jnp.int32)
-                            if ns and nt:
-                                return jax.lax.cond(
-                                    pid < ns,
-                                    lambda b: _sph_all(pid, b),
-                                    lambda b: _tri_all(pid - ns, b), b3)
-                            if ns:
-                                return _sph_all(pid, b3)
-                            return _tri_all(pid, b3)
-                        return jax.lax.fori_loop(0, cnt, lb, b2)
-
-                    bm2 = jax.lax.cond(boxed & is_leaf, leafer,
-                                       lambda b: b, bm2)
+                    bm2 = jax.lax.cond(
+                        boxed & is_leaf,
+                        lambda b: _leaf_all(first, cnt, b),
+                        lambda b: b, bm2)
                     done = jnp.max(
                         jnp.where(bm2 < FULL, 1.0, 0.0)) <= 0.0
                     nxt = jnp.where(done, n_nodes,
@@ -991,8 +1132,56 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                               cur + 1, skip))
                     return nxt, bm2
 
-                _, bm = jax.lax.while_loop(wcond, wbody,
-                                           (jnp.int32(0), bm))
+                def wbody_wide(c):
+                    sp0, bm2 = c[0], c[1]
+                    cur = stack_ref[sp0 - 1]
+                    unresolved = jnp.where(bm2 < FULL, 1.0, 0.0)
+                    boxed = []
+                    meta = []
+                    for s in range(4):
+                        b = 9 * s
+                        t0x = (bvh4[b + 0, cur] - delta - px_) * ivx
+                        t1x = (bvh4[b + 3, cur] + delta - px_) * ivx
+                        t0y = (bvh4[b + 1, cur] - delta - py_) * ivy
+                        t1y = (bvh4[b + 4, cur] + delta - py_) * ivy
+                        t0z = (bvh4[b + 2, cur] - delta - pz_) * ivz
+                        t1z = (bvh4[b + 5, cur] + delta - pz_) * ivz
+                        near = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.maximum(jnp.minimum(t0z, t1z), tminc))
+                        far = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.minimum(jnp.maximum(t0z, t1z), dist))
+                        boxed.append(jnp.max(jnp.where(
+                            near <= far, unresolved, 0.0)) > 0.0)
+                        meta.append(
+                            (bvh4[b + 6, cur].astype(jnp.int32),
+                             bvh4[b + 7, cur].astype(jnp.int32),
+                             bvh4[b + 8, cur].astype(jnp.int32)))
+                    sp = sp0 - 1
+                    for s in range(4):
+                        child, first, cnt = meta[s]
+                        bm2 = jax.lax.cond(
+                            boxed[s] & (cnt > 0),
+                            lambda b, f=first, n_=cnt: _leaf_all(f, n_, b),
+                            lambda b: b, bm2)
+                        push = boxed[s] & (child >= 0)
+                        stack_ref[sp] = child
+                        sp = sp + jnp.where(push, jnp.int32(1),
+                                            jnp.int32(0))
+                    done = jnp.max(
+                        jnp.where(bm2 < FULL, 1.0, 0.0)) <= 0.0
+                    return jnp.where(done, jnp.int32(0), sp), bm2
+
+                if wide:
+                    stack_ref[0] = jnp.int32(0)
+                    _, bm = jax.lax.while_loop(
+                        lambda c: c[0] > 0, wbody_wide, (jnp.int32(1), bm))
+                else:
+                    _, bm = jax.lax.while_loop(wcond, wbody,
+                                               (jnp.int32(0), bm))
                 unb = jnp.zeros(px_.shape)
                 for s in range(ss):
                     bit = (bm >> jnp.int32(s)) & jnp.int32(1)
@@ -2262,6 +2451,31 @@ def pack_bvh_tables(accel, inflate: float = 0.0):
     return nodes, pidx
 
 
+def pack_bvh4_tables(wide4):
+    """WideBVH4 -> (36, W) f32 SMEM table for the 4-ary stack walk.
+
+    Rows 9s..9s+8 for slot s: [min.xyz, max.xyz, child, first, count]
+    (int fields exact in f32 up to 2^24). Empty slots carry inverted
+    AABBs (+BIG/-BIG) so their slab test can never pass."""
+    rows = []
+    for s in range(4):
+        rows += [wide4.slot_min[:, s, 0], wide4.slot_min[:, s, 1],
+                 wide4.slot_min[:, s, 2],
+                 wide4.slot_max[:, s, 0], wide4.slot_max[:, s, 1],
+                 wide4.slot_max[:, s, 2],
+                 wide4.slot_child[:, s].astype(jnp.float32),
+                 wide4.slot_first[:, s].astype(jnp.float32),
+                 wide4.slot_count[:, s].astype(jnp.float32)]
+    return jnp.stack(rows, axis=0).astype(jnp.float32)  # (36, W)
+
+
+def _env_wide_bvh() -> bool:
+    """4-ary walk gate: RT_WIDE_BVH=0 forces the binary skip walk (A/B
+    knob; read at trace time, so set it before the first render)."""
+    import os
+    return os.environ.get("RT_WIDE_BVH", "1") != "0"
+
+
 def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
                  block_rows: int = DEFAULT_BLOCK_ROWS,
                  interpret: bool | None = None,
@@ -2326,10 +2540,21 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
     mode = _kernel_mode(scene)
     bvh_inputs = []
     n_nodes = 0
+    wide = False
+    max_stack = 0
+    scratch = []
     if mode == "bvh":
         nodes, pidx = pack_bvh_tables(scene.accel)
         n_nodes = nodes.shape[1]  # (9, N) transposed layout
         bvh_inputs = [nodes, pidx]
+        wide4 = getattr(scene.accel, "wide4", None)
+        wide = wide4 is not None and _env_wide_bvh()
+        if wide:
+            bvh_inputs.append(pack_bvh4_tables(wide4))
+            # +4: slot stores go through stack[sp..sp+3] before the
+            # push-count settles (see closest_fn_wide).
+            max_stack = wide4.max_stack + 4
+            scratch = [pltpu.SMEM((max_stack,), jnp.int32)]
 
     kernel = _make_kernel(ns, nt, nl, nm, npl, cfg,
                           start_bounce=start_bounce,
@@ -2339,7 +2564,8 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
                           advanced=getattr(scene.materials, "has_advanced",
                                            False),
                           textures=tuple(getattr(scene.materials,
-                                                 "textures", ()) or ()))
+                                                 "textures", ()) or ()),
+                          wide=wide, max_stack=max_stack)
 
     rows = n_blocks * block_rows
     n_out = 13 if return_state else 3
@@ -2355,6 +2581,7 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
         out_specs=[lane_spec() for _ in range(n_out)],
         out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                    for _ in range(n_out)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*bvh_inputs, sph, tri, pln, lit, mat, pix, samp, *comps)
 

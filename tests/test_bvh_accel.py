@@ -150,6 +150,46 @@ def test_sah_build_equivalence_and_invariants():
                                   np.asarray(pid_med))
 
 
+def test_widen4_structure_and_coverage():
+    """WideBVH4 invariants: leaf slots partition the primitive slots
+    exactly once, inner slots reference each wide node exactly once, and
+    every slot AABB contains its subtree's live slot AABBs."""
+    r = np.random.default_rng(11)
+    c = r.uniform(-10, 10, (203, 3)).astype(np.float32)
+    rad = r.uniform(0.2, 0.8, 203).astype(np.float32)
+    tree = bvh_mod.build_bvh(c - rad[:, None], c + rad[:, None],
+                             leaf_size=4)
+    w = bvh_mod.widen4(tree)
+    sn = np.asarray(w.slot_count)
+    sf = np.asarray(w.slot_first)
+    sc = np.asarray(w.slot_child)
+    smin = np.asarray(w.slot_min)
+    smax = np.asarray(w.slot_max)
+    n_wide = sn.shape[0]
+    leaf = sn > 0
+    assert sn[leaf].sum() == 203
+    order = np.argsort(sf[leaf], kind="stable")
+    firsts, cnts = sf[leaf][order], sn[leaf][order]
+    assert firsts[0] == 0
+    assert (firsts[1:] == (firsts + cnts)[:-1]).all()
+    inner = sc >= 0
+    assert (np.sort(sc[inner]) == np.arange(1, n_wide)).all()
+    assert not (leaf & inner).any()
+    for wi in range(n_wide):
+        for s in range(4):
+            if sc[wi, s] >= 0:
+                ch = sc[wi, s]
+                live = (sn[ch] > 0) | (sc[ch] >= 0)
+                assert (smin[ch][live] >= smin[wi, s] - 1e-5).all()
+                assert (smax[ch][live] <= smax[wi, s] + 1e-5).all()
+    # empty slots must be untestable (inverted AABB)
+    empty = ~(leaf | inner)
+    if empty.any():
+        assert (smin[empty] > smax[empty]).all()
+    # the stack bound must cover a worst-case DFS (3 net pushes per pop)
+    assert w.max_stack >= 4
+
+
 def test_closest_hit_accel_respects_t_max():
     scene, _ = scene_mod.from_dict(_mixed_geom(with_plane=False))
     origin, direction = _rand_rays(1024, seed=3)

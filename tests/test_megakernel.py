@@ -579,3 +579,55 @@ def test_soft_guard_giant_ground_matches_oracle():
     assert np.max(ref) > 0.0
     # the frame must contain actual shadow variation for this to bite
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_wide_bvh_walk_matches_binary_and_oracle(monkeypatch):
+    """The 4-ary stack walk (WideBVH4, closest_fn_wide) must reproduce
+    the binary skip walk exactly on a deep tree (leaf_size 4, 81 prims
+    incl. triangle leaves): both visit the same leaves' primitives with
+    identical per-primitive arithmetic, so radiance is bit-equal, and
+    both must match the jnp oracle."""
+    import math
+    from raytrace_tpu import scene as scene_mod
+    objs = [{"type": "sphere", "position": [0, -1000.5, 0],
+             "radius": 1000,
+             "material": {"type": "lambertian", "color": [0.5, 0.5, 0.5]}}]
+    for i in range(68):
+        a = 2 * math.pi * i / 68
+        r = 2.0 + (i % 5) * 0.8
+        objs.append({"type": "sphere",
+                     "position": [r * math.cos(a), 0.3 * (i % 3),
+                                  r * math.sin(a)], "radius": 0.3,
+                     "material": {"type": ["lambertian", "metal",
+                                           "glass"][i % 3],
+                                  "color": [0.7, 0.5, 0.4],
+                                  "roughness": 0.1}})
+    objs.append({"type": "cube", "position": [0, 0.5, 0],
+                 "size": [1, 1, 1],
+                 "material": {"type": "lambertian",
+                              "color": [0.8, 0.2, 0.2]}})
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 2, 9], "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [4, 8, 3],
+                    "color": [1, 1, 1], "intensity": 2.0}]})
+    s = scene_mod.with_accel(s, leaf_size=4)
+    assert s.accel.wide4.slot_min.shape[0] > 8  # deep enough to matter
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+    o, d, pix, samp = _lanes(s, 8, 6, 1, cfg)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg))
+    orig = mk.UNROLL_PRIM_LIMIT
+    mk.UNROLL_PRIM_LIMIT = 8
+    try:
+        assert mk._kernel_mode(s) == "bvh"
+        monkeypatch.setenv("RT_WIDE_BVH", "1")
+        out_wide = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                              interpret=True))
+        monkeypatch.setenv("RT_WIDE_BVH", "0")
+        out_bin = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                             interpret=True))
+    finally:
+        mk.UNROLL_PRIM_LIMIT = orig
+    assert np.max(ref) > 0.0
+    np.testing.assert_array_equal(out_wide, out_bin)
+    np.testing.assert_allclose(out_wide, ref, atol=1e-4)
