@@ -211,6 +211,51 @@ def test_sharded_wavefront_matches_jnp():
     np.testing.assert_allclose(np.asarray(img), ref, atol=1e-4)
 
 
+def test_sharded_wavefront_bvh_mode_matches_jnp(monkeypatch):
+    """bvh-mode megakernel (wide stack walk + scratch + bounce-2
+    survivor split) under shard_map matches the jnp oracle - guards the
+    shard_map x scratch_shapes x trace_with_split interaction that the
+    small-scene sharded tests never reach."""
+    import math
+    from raytrace_tpu import scene as scene_mod
+    from raytrace_tpu.ops import megakernel as mk
+    objs = [{"type": "sphere", "position": [0, -1000.5, 0],
+             "radius": 1000,
+             "material": {"type": "lambertian", "color": [0.5, 0.5, 0.5]}}]
+    for i in range(12):
+        a = 2 * math.pi * i / 12
+        objs.append({"type": "sphere",
+                     "position": [3 * math.cos(a), 0.0, 3 * math.sin(a)],
+                     "radius": 0.5,
+                     "material": {"type": ["lambertian", "metal",
+                                           "glass"][i % 3],
+                                  "color": [0.7, 0.5, 0.4],
+                                  "roughness": 0.1}})
+    scene, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 2, 9], "aspectRatio": 1.0},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [4, 8, 3],
+                    "color": [1, 1, 1], "intensity": 2.0}]})
+    scene = scene_mod.with_accel(scene)
+    cfg = trace_mod.TraceConfig(max_depth=6, shadow_samples=2)
+    monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 8)
+    assert mk._kernel_mode(scene) == "bvh"
+    from raytrace_tpu import renderer as renderer_mod
+    assert renderer_mod.pick_split(scene, cfg) == 2
+    img, ov = parallel.render_wavefront_sharded(
+        scene, width=8, height=8, samples=1, cfg=cfg,
+        mesh=parallel.make_mesh(px=8, sp=1), px_capacity=8)
+    assert int(ov) == 0
+    pix = jnp.arange(64, dtype=jnp.uint32)
+    samp = jnp.zeros(64, dtype=jnp.uint32)
+    o, d = renderer_mod._lane_rays(scene, pix, samp, width=8, height=8,
+                                   cfg=cfg, go_camera=True)
+    ref = np.asarray(trace_mod.trace(scene, o, d, pix, samp, cfg)
+                     ).reshape(8, 8, 3)
+    assert ref.max() > 0.0
+    np.testing.assert_allclose(np.asarray(img), ref, atol=1e-4)
+
+
 def test_sharded_wavefront_overflow_detected():
     scene, _ = rt.scene_from_dict({
         "camera": {"position": [0, 0, 3], "aspectRatio": 1.0},
