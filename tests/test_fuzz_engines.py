@@ -67,11 +67,7 @@ def random_scene(seed: int):
     }
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_engines_agree_on_random_scene(seed):
-    scene, _ = rt.scene_from_dict(random_scene(seed))
-    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=1)
-    W, H = 10, 8
+def _trace_both(scene, cfg, W, H, seed):
     n_px = W * H
     pix = jnp.arange(n_px, dtype=jnp.uint32)
     samp = jnp.zeros(n_px, jnp.uint32)
@@ -87,3 +83,45 @@ def test_engines_agree_on_random_scene(seed):
     assert np.isfinite(ref).all() and np.isfinite(out).all()
     np.testing.assert_allclose(out, ref, atol=1e-4,
                                err_msg=f"seed {seed}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_engines_agree_on_random_scene(seed):
+    scene, _ = rt.scene_from_dict(random_scene(seed))
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=1)
+    _trace_both(scene, cfg, 10, 8, seed)
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_engines_agree_on_random_bvh_scene(seed, monkeypatch):
+    """Same property through the packet-BVH kernel (wide stack walk +
+    fused soft-shadow walk): random clustered scenes, accel attached,
+    UNROLL_PRIM_LIMIT forced below the primitive count."""
+    from raytrace_tpu import scene as scene_mod
+    rnd = random.Random(seed)
+    r = rnd.random
+    objs = []
+    for _ in range(rnd.randint(3, 5)):  # clusters so the tree has depth
+        cx, cy, cz = 6 * r() - 3, 6 * r() - 3, 6 * r() - 3
+        for _ in range(rnd.randint(4, 8)):
+            mat = rnd.choice(MATS)(r)
+            objs.append({"type": "sphere",
+                         "position": [cx + r() - 0.5, cy + r() - 0.5,
+                                      cz + r() - 0.5],
+                         "radius": 0.15 + 0.3 * r(), "material": mat})
+    if rnd.random() < 0.5:
+        objs.append({"type": "cube", "position": [0, -1, 0],
+                     "size": [0.5 + r()] * 3,
+                     "material": rnd.choice(MATS)(r)})
+    lights = [{"type": "point",
+               "position": [8 * r() - 4, 4 + 2 * r(), 8 * r() - 4],
+               "color": [r(), r(), r()], "intensity": 2 * r()}
+              for _ in range(rnd.randint(1, 2))]
+    scene, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 8], "aspectRatio": 1.0},
+        "objects": objs, "lights": lights})
+    scene = scene_mod.with_accel(scene, leaf_size=4)
+    monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 4)
+    assert mk._kernel_mode(scene) == "bvh"
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+    _trace_both(scene, cfg, 8, 6, seed)
