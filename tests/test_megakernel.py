@@ -105,13 +105,13 @@ def test_wavefront_matches_jnp_renderer(scene):
     r = rt.Renderer()
     r.samples, r.max_depth = 1, 3
     r.engine = "jnp"
-    ref = r.render_linear(scene, 12, 8)
+    ref = r.render_linear(scene, 8, 6)
     img = renderer_mod.render_wavefront(
-        scene, width=12, height=8, samples=1, cfg=r.trace_config())
+        scene, width=8, height=6, samples=1, cfg=r.trace_config())
     np.testing.assert_allclose(img, ref, atol=1e-4)
     # Steady-state fused path (capacity cached) must agree bit-for-bit.
     img2 = renderer_mod.render_wavefront(
-        scene, width=12, height=8, samples=1, cfg=r.trace_config())
+        scene, width=8, height=6, samples=1, cfg=r.trace_config())
     np.testing.assert_array_equal(img, img2)
 
 
