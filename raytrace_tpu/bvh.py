@@ -164,7 +164,12 @@ def widen4(flat: FlatBVH) -> WideBVH4:
             del arr[save]
         return my
 
-    if ncount[0] > 0:  # root is a leaf: one wide node, slot 0 = root
+    if nmin.shape[0] == 1 and ncount[0] == 0:
+        # zero-primitive sentinel tree (build_bvh's P==0 path): one wide
+        # node with four empty (untestable) slots, so the walk pops it
+        # and terminates without touching any leaf.
+        emit([])
+    elif ncount[0] > 0:  # root is a leaf: one wide node, slot 0 = root
         emit([(0, -1)])
     else:
         rec(0, 1)
@@ -307,18 +312,19 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray,
                        jnp.asarray([0], jnp.int32),
                        jnp.zeros((0,), jnp.int32),
                        leaf_size=leaf_size)
-    from . import native
-    nat = native.build_bvh_native(lo, hi, leaf_size)
-    if nat is not None:
-        nmin, nmax, nskip, nfirst, ncount, perm = nat
-        return FlatBVH(node_min=jnp.asarray(nmin),
-                       node_max=jnp.asarray(nmax),
-                       node_skip=jnp.asarray(nskip),
-                       node_first=jnp.asarray(nfirst),
-                       node_count=jnp.asarray(ncount),
-                       prim_index=jnp.asarray(perm),
-                       leaf_size=leaf_size)
-    nodes, perm = _build_nodes(lo, hi, leaf_size)
+    if method == "median":  # the native builder is median-split only
+        from . import native
+        nat = native.build_bvh_native(lo, hi, leaf_size)
+        if nat is not None:
+            nmin, nmax, nskip, nfirst, ncount, perm = nat
+            return FlatBVH(node_min=jnp.asarray(nmin),
+                           node_max=jnp.asarray(nmax),
+                           node_skip=jnp.asarray(nskip),
+                           node_first=jnp.asarray(nfirst),
+                           node_count=jnp.asarray(ncount),
+                           prim_index=jnp.asarray(perm),
+                           leaf_size=leaf_size)
+    nodes, perm = _build_nodes(lo, hi, leaf_size, method=method)
     as_np = lambda i, dt=np.float32: np.asarray([n[i] for n in nodes], dt)
     return FlatBVH(
         node_min=jnp.asarray(as_np(0)),

@@ -249,13 +249,17 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         blocked, so a block whose every relevant lane has resolved exits
         the walk early. Needs n_nodes and the extra bvh/pidx refs.
 
-    wide: in bvh mode, closest-hit uses a 4-ary STACK walk over the
-    WideBVH4 table (extra refs[2] + an SMEM scratch stack of max_stack
-    ints): each popped node slab-tests 4 slots whose cross-lane reduces
-    are mutually independent (they pipeline, where the binary skip walk
-    serializes one reduce per node step) and offline step counts are
-    0.22-0.26x the binary walk's (tools/sim_bvh4.py). Shadow walks stay
-    on the binary table (their early-out structure differs).
+    wide: in bvh mode, ALL THREE walks (closest-hit, the hard-shadow
+    any-hit, and the fused soft-shadow walk) use a 4-ary STACK walk over
+    the WideBVH4 table (extra refs[2] + an SMEM scratch stack of
+    max_stack ints): each popped node slab-tests 4 slots whose
+    cross-lane reduces are mutually independent (they pipeline, where
+    the binary skip walk serializes one reduce per node step) and
+    offline step counts are 0.22-0.26x the binary walk's
+    (tools/sim_bvh4.py). The shadow walks' early exit maps to clearing
+    the stack (sp=0) when every lane has resolved. The binary table is
+    still passed (refs[0]) for n_nodes bookkeeping and the non-wide
+    fallback.
     """
     max_depth = cfg.max_depth if end_bounce is None else end_bounce
     shadow_samples = cfg.shadow_samples

@@ -80,12 +80,13 @@ def render_band_sharded(scene, band_y0, *, width: int, height: int,
 
 @partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
                                    "go_camera", "mesh", "px_capacity",
-                                   "block_rows"))
+                                   "block_rows", "split"))
 def render_wavefront_sharded(scene, *, width: int, height: int,
                              samples: int, cfg: trace_mod.TraceConfig,
                              mesh, go_camera: bool = True,
                              px_capacity: int = 0,
-                             block_rows: Optional[int] = None):
+                             block_rows: Optional[int] = None,
+                             split: Optional[int] = None):
     """Compacted Pallas wavefront, sharded over the ``px`` mesh axis.
 
     Each device owns a contiguous band of rows and runs the full
@@ -94,10 +95,19 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
     megakernel -> per-pixel scatter-add into its image shard. No
     collective traffic during the frame (pixels are disjoint); the only
     cross-device output is the row-sharded image plus a psum'ed overflow
-    count that the caller must check: overflow > 0 means some device had
-    more hit pixels than `px_capacity` and the frame must be re-rendered
-    with a larger capacity (capacities are compile-time; a dynamic count
-    cannot size a kernel launch inside SPMD).
+    count that the caller must check. overflow > 0 means one of two
+    capacity misses (both compile-time; a dynamic count cannot size a
+    kernel launch inside SPMD):
+      * a device had more hit pixels than ``px_capacity`` -> re-render
+        with a larger px_capacity;
+      * the bounce-2 survivor re-compaction cap overflowed (a scene
+        keeping >1/8 of its lanes alive past the split, e.g. an enclosed
+        box) -> re-render with ``split=0``. Unlike the single-chip
+        driver there is no automatic unsplit fallback here: the split
+        choice is a static arg, so the caller owns the retry.
+
+    ``split=None`` uses renderer.pick_split's policy (bounce-2 split for
+    bvh-mode deep traces, else unsplit; RT_NO_SPLIT=1 forces 0).
 
     Returns (image (H,W,3) row-sharded, overflow scalar).
     """
@@ -106,6 +116,8 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
 
     if block_rows is None:
         block_rows = renderer_mod.pick_block_rows(scene)
+    if split is None:
+        split = renderer_mod.pick_split(scene, cfg)
     n_shards = mesh.shape["px"]
     if mesh.shape.get("sp", 1) != 1:
         raise ValueError("render_wavefront_sharded shards pixels only; "
@@ -158,15 +170,13 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
         o_c, d_c = renderer_mod._lane_rays(
             scene, pix_lanes, samp_lanes, width=width, height=height,
             cfg=cfg, go_camera=go_camera)
-        # Same survivor re-compaction policy as the single-chip driver
-        # (renderer.pick_split); each device re-packs its own band's
-        # survivors locally - no cross-device traffic. A survivor-cap
-        # overflow joins the psum'ed overflow (both mean: re-render,
-        # with a larger px_capacity or with RT_NO_SPLIT=1).
+        # Same survivor re-compaction policy as the single-chip driver;
+        # each device re-packs its own band's survivors locally - no
+        # cross-device traffic. A survivor-cap overflow joins the
+        # psum'ed overflow (see the overflow contract above).
         rad, s_ov = renderer_mod.trace_with_split(
             scene, o_c, d_c, pix_lanes, samp_lanes, cfg,
-            block_rows=block_rows,
-            split=renderer_mod.pick_split(scene, cfg))
+            block_rows=block_rows, split=split)
         px_sum = rad.reshape(px_capacity, samples, 3).sum(axis=1)
         valid = jnp.arange(px_capacity) < jnp.minimum(k_px, px_capacity)
         tgt = jnp.where(valid, cidx, n_px_local)

@@ -583,10 +583,14 @@ def test_soft_guard_giant_ground_matches_oracle():
 
 def test_wide_bvh_walk_matches_binary_and_oracle(monkeypatch):
     """The 4-ary stack walk (WideBVH4, closest_fn_wide) must reproduce
-    the binary skip walk exactly on a deep tree (leaf_size 4, 81 prims
-    incl. triangle leaves): both visit the same leaves' primitives with
-    identical per-primitive arithmetic, so radiance is bit-equal, and
-    both must match the jnp oracle."""
+    the binary skip walk on a deep tree (leaf_size 4, 81 prims incl.
+    triangle leaves). Per-primitive arithmetic is identical and the
+    closest-hit result is visit-order invariant EXCEPT on exact-t ties
+    (strict tj < t_best keeps the first-visited primitive, and the two
+    walks visit leaves in different orders) - this scene is tie-free,
+    so bit-equality holds and acts as a regression tripwire; a scene
+    with interpenetrating geometry would need the divergent-pixel
+    fraction gate instead (see CLAUDE.md). Both must match the oracle."""
     import math
     from raytrace_tpu import scene as scene_mod
     objs = [{"type": "sphere", "position": [0, -1000.5, 0],
