@@ -47,7 +47,9 @@ class FastRandom:
         x ^= (x << np.uint64(25)) & np.uint64(0xFFFFFFFFFFFFFFFF)
         x ^= x >> np.uint64(27)
         self.state = x
-        return int((x * _XS_MULT) & np.uint64(0xFFFFFFFFFFFFFFFF))
+        # Go uint64 multiply wraps mod 2^64; numpy flags the wrap as
+        # overflow, so do the (exact) multiply in Python ints instead.
+        return (int(x) * int(_XS_MULT)) & 0xFFFFFFFFFFFFFFFF
 
     def float64(self) -> float:
         """advanced_math.go:22-24: top 53 bits / 2^53."""
@@ -365,7 +367,10 @@ def fibonacci(k: int):
 
 def is_palindrome_number(n):
     """Digit-palindrome test, vectorized."""
-    n = jnp.asarray(n, jnp.int64)
+    # int64 only exists under jax_enable_x64; default mode truncates the
+    # dtype (with a warning), so ask for what the mode can deliver.
+    dt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    n = jnp.asarray(n, dt)
 
     def cond(c):
         orig, rev, rem = c

@@ -27,8 +27,7 @@ def test_xorshift64star_bit_exact():
     x ^= x >> np.uint64(12)
     x = x ^ ((x << np.uint64(25)) & np.uint64(0xFFFFFFFFFFFFFFFF))
     x ^= x >> np.uint64(27)
-    expect = int((x * np.uint64(2685821657736338717))
-                 & np.uint64(0xFFFFFFFFFFFFFFFF))
+    expect = (int(x) * 2685821657736338717) & 0xFFFFFFFFFFFFFFFF
     assert first == expect
     # floats in [0,1)
     vals = [r.float64() for _ in range(100)]
