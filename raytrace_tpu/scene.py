@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -186,13 +187,16 @@ class SceneConfig:
 
 
 def from_dict(data: Dict[str, Any], go_parity: bool = False,
-              dtype=jnp.float32, build_accel: Optional[bool] = None):
+              dtype=jnp.float32, build_accel: Optional[bool] = None,
+              base_dir: str = "."):
     """Build (Scene, SceneConfig) from a parsed scene dict.
 
     go_parity=True reproduces the reference loader exactly, including
     silently skipping unknown object types such as triangularPrism.
     build_accel: attach a scene BVH (None = auto: only past
     bvh.BVH_THRESHOLD primitives; pass False for differentiable use).
+    base_dir resolves relative asset paths (mesh OBJ files); load()
+    passes the scene file's directory.
     """
     cam_d = data.get("camera", {})
     camera = Camera(
@@ -254,6 +258,14 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
         elif otype == "triangularprism" and not go_parity:
             mid = add_material(obj.get("material"))
             add_tris(_prism_triangles(obj.get("vertices", [])), mid)
+            mesh_count += 1
+        elif otype == "mesh" and not go_parity:
+            # OBJ model import (models/mesh.py) — beyond the reference,
+            # whose only triangle sources are cubes and the skipped
+            # prism; gated so --go-parity reproduces scene.go:80-83.
+            from .models import mesh as mesh_mod
+            mid = add_material(obj.get("material"))
+            add_tris(mesh_mod.mesh_from_dict(obj, base_dir), mid)
             mesh_count += 1
         elif otype == "plane" and not go_parity:
             # geometry/plane.go:7-11: infinite plane (point, normal). The
@@ -324,4 +336,5 @@ def load(path: str, go_parity: bool = False, dtype=jnp.float32,
     with open(path) as f:
         data = json.load(f)
     return from_dict(data, go_parity=go_parity, dtype=dtype,
-                     build_accel=build_accel)
+                     build_accel=build_accel,
+                     base_dir=os.path.dirname(os.path.abspath(path)))
