@@ -45,10 +45,11 @@ if not _os.environ.get("RT_NO_CACHE") and not _cpu_intent:
 from .scene import load as load_scene, from_dict as scene_from_dict, Scene
 from .renderer import Renderer, render_band
 from .trace import TraceConfig, trace as trace_rays
+from .adaptive import render_adaptive
 
 __version__ = "0.1.0"
 
 __all__ = [
     "load_scene", "scene_from_dict", "Scene", "Renderer", "render_band",
-    "TraceConfig", "trace_rays",
+    "TraceConfig", "trace_rays", "render_adaptive",
 ]

@@ -1,0 +1,97 @@
+"""Adaptive sampling (adaptive.py): estimator exactness and sample savings.
+
+The counter-based RNG makes adaptive batches reproduce exactly the
+samples a fixed-spp render would take (samples are keyed by
+(pixel, sample id), never by batch membership); these tests pin that
+invariant and the actual adaptivity (flat pixels stop at min_spp).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytrace_tpu import adaptive
+from raytrace_tpu import renderer as renderer_mod
+from raytrace_tpu import scene as scene_mod
+from raytrace_tpu import trace as trace_mod
+
+W, H = 16, 12
+
+SCENE = {
+    "camera": {"position": [0, 0, 6], "aspectRatio": W / H},
+    "objects": [
+        {"type": "sphere", "position": [0, 0, 0], "radius": 1.0,
+         "material": {"type": "metal", "color": [0.8, 0.7, 0.6],
+                      "roughness": 0.3, "metallic": 0.9}},
+        {"type": "sphere", "position": [0, -101, 0], "radius": 100.0,
+         "material": {"type": "lambertian", "color": [0.5, 0.5, 0.5]}},
+    ],
+    "lights": [{"position": [3, 5, 5], "color": [1, 1, 1],
+                "intensity": 30.0}],
+}
+
+
+def _scene():
+    s, _ = scene_mod.from_dict(SCENE)
+    return s
+
+
+def test_adaptive_tol_zero_equals_fixed_spp():
+    """With tolerances 0 nothing converges early: every pixel takes
+    max_spp samples and the image equals the fixed-spp render (same
+    sample ids; only float64-host vs float32-device summation differs)."""
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=4, shadow_samples=2)
+    img, spp = adaptive.render_adaptive(
+        scene, width=W, height=H, cfg=cfg, min_spp=8, max_spp=8, batch=4,
+        rel_tol=0.0, abs_tol=0.0, pad_quantum=64)
+    ref = np.asarray(renderer_mod.render_band(
+        scene, jnp.int32(0), width=W, height=H, band_h=H, samples=8,
+        cfg=cfg))
+    assert (spp == 8).all()
+    np.testing.assert_allclose(img, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_adaptive_batching_is_invisible():
+    """Batch size must not change the estimator beyond float summation
+    order (the same sample ids are drawn either way; the device f32
+    partial sums just associate differently): batch=2 ~= batch=8."""
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=3, shadow_samples=1)
+    kw = dict(width=W, height=H, cfg=cfg, min_spp=8, max_spp=8,
+              rel_tol=0.0, abs_tol=0.0, pad_quantum=64)
+    img2, _ = adaptive.render_adaptive(scene, batch=2, **kw)
+    img8, _ = adaptive.render_adaptive(scene, batch=8, **kw)
+    np.testing.assert_allclose(img2, img8, atol=1e-6, rtol=1e-6)
+
+
+def test_adaptive_saves_samples_on_flat_pixels():
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=4, shadow_samples=2)
+    img, spp = adaptive.render_adaptive(
+        scene, width=W, height=H, cfg=cfg, min_spp=4, max_spp=32, batch=4,
+        rel_tol=0.05, abs_tol=1e-3, pad_quantum=64)
+    # miss pixels are exact black -> zero variance -> stop at min_spp
+    miss = img.sum(axis=2) == 0.0
+    assert miss.any()
+    assert (spp[miss] == 4).all()
+    # at least some geometry pixels demand more than min_spp, none
+    # exceed the cap, and the frame saves samples overall
+    assert (spp > 4).any()
+    assert spp.max() <= 32
+    assert spp.mean() < 32 / 2
+
+
+def test_adaptive_image_close_to_converged_reference():
+    """The adaptive image with modest tolerances stays statistically
+    close to a high-spp fixed render."""
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=3, shadow_samples=1)
+    img, _ = adaptive.render_adaptive(
+        scene, width=W, height=H, cfg=cfg, min_spp=8, max_spp=64, batch=8,
+        rel_tol=0.03, abs_tol=1e-3, pad_quantum=64)
+    ref = np.asarray(renderer_mod.render_band(
+        scene, jnp.int32(0), width=W, height=H, band_h=H, samples=64,
+        cfg=cfg))
+    # MC noise bound, not exactness: mean abs error well under the
+    # brightest radiance scale
+    assert np.abs(img - ref).mean() < 0.05 * max(ref.max(), 1e-6)
