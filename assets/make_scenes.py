@@ -116,11 +116,58 @@ def atmosphere_demo():
     return d
 
 
+def _icosahedron_obj():
+    """Unit icosahedron as OBJ text (12 verts / 20 faces, outward CCW)."""
+    phi = (1.0 + 5.0 ** 0.5) / 2.0
+    raw = [(-1, phi, 0), (1, phi, 0), (-1, -phi, 0), (1, -phi, 0),
+           (0, -1, phi), (0, 1, phi), (0, -1, -phi), (0, 1, -phi),
+           (phi, 0, -1), (phi, 0, 1), (-phi, 0, -1), (-phi, 0, 1)]
+    norm = (1.0 + phi * phi) ** 0.5
+    faces = [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+             (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+             (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+             (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)]
+    lines = [f"v {x / norm:.9f} {y / norm:.9f} {z / norm:.9f}"
+             for x, y, z in raw]
+    lines += [f"f {a + 1} {b + 1} {c + 1}" for a, b, c in faces]
+    return "\n".join(lines) + "\n"
+
+
+def mesh_demo():
+    """OBJ model import showcase: a glass icosahedron and a gold metal
+    one over a lambertian ground (models/mesh.py; the type the Go loader
+    would silently skip, scene.go:80-83)."""
+    return {
+        "camera": {"position": [0, 0.6, -6], "lookAt": [0, 0, 0],
+                   "up": [0, 1, 0], "fov": 60, "aspectRatio": 1.33},
+        "objects": [
+            {"type": "mesh", "path": "mesh_demo.obj",
+             "position": [-1.4, 0.2, 0], "scale": 1.1, "rotationY": 15,
+             "material": {"type": "glass", "color": [0.85, 0.9, 1.0],
+                          "refractionIndex": 1.5}},
+            {"type": "mesh", "path": "mesh_demo.obj",
+             "position": [1.4, 0.2, 0], "scale": 1.1, "rotationY": -20,
+             "material": {"type": "metal", "color": [0.95, 0.78, 0.3],
+                          "roughness": 0.15, "metallic": 0.9}},
+            {"type": "sphere", "position": [0, -101, 0], "radius": 100,
+             "material": {"type": "lambertian",
+                          "color": [0.55, 0.55, 0.6]}},
+        ],
+        "lights": [
+            {"type": "point", "position": [4, 6, 4],
+             "color": [1, 1, 1], "intensity": 60},
+            {"type": "point", "position": [-5, 3, 2],
+             "color": [0.8, 0.85, 1.0], "intensity": 25},
+        ],
+    }
+
+
 SCENES = {
     "sphere_reflections_light.json": sphere_reflections_light,
     "two_red_cubes_scene.json": two_red_cubes,
     "final_silver_prism_purple_cube.json": silver_prism_purple_cube,
     "atmosphere_demo.json": atmosphere_demo,
+    "mesh_demo.json": mesh_demo,
 }
 
 
@@ -130,6 +177,10 @@ def main():
         with open(path, "w") as f:
             json.dump(fn(), f, indent=2)
         print("wrote", path)
+    obj_path = os.path.join(HERE, "mesh_demo.obj")
+    with open(obj_path, "w") as f:
+        f.write(_icosahedron_obj())
+    print("wrote", obj_path)
 
 
 if __name__ == "__main__":

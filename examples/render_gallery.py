@@ -27,6 +27,7 @@ SCENES = [
     "two_red_cubes_scene.json",
     "final_silver_prism_purple_cube.json",
     "atmosphere_demo.json",
+    "mesh_demo.json",
 ]
 
 
@@ -49,7 +50,7 @@ def main(argv=None):
             d = json.load(f)
         if d["camera"]["position"][2] < 0:
             d["camera"]["position"][2] *= -1
-        scene, cfg = rt.scene_from_dict(d)
+        scene, cfg = rt.scene_from_dict(d, base_dir=os.path.dirname(path))
         r = rt.Renderer()
         r.set_samples(args.spp)
         r.set_max_depth(args.max_depth)
