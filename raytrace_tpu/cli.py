@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reproduce reference loader quirks (skip prisms, "
                         "ignore scene renderer block)")
     p.add_argument("--ascii-preview", action="store_true")
+    p.add_argument("--adaptive", action="store_true",
+                   help="variance-guided per-pixel sampling: --samples "
+                        "becomes the per-pixel cap (adaptive.py)")
+    p.add_argument("--min-spp", type=int, default=8,
+                   help="adaptive mode: samples every pixel must take "
+                        "before it may stop")
+    p.add_argument("--adaptive-tol", type=float, default=0.02,
+                   help="adaptive mode: relative luminance standard-"
+                        "error tolerance")
     return p
 
 
@@ -84,8 +93,16 @@ def main(argv=None) -> int:
     r.go_camera = not args.lookat_camera
 
     print(f"Rendering at {args.width}x{args.height} resolution...")
-    img = r.render(scene, args.width, args.height,
-                   scene_config=None if args.go_parity else cfg)
+    if args.adaptive:
+        img, spp = r.render_adaptive(
+            scene, args.width, args.height,
+            scene_config=None if args.go_parity else cfg,
+            min_spp=args.min_spp, rel_tol=args.adaptive_tol)
+        print(f"Adaptive sampling: mean {spp.mean():.1f} spp "
+              f"(cap {args.samples}, floor {min(args.min_spp, args.samples)})")
+    else:
+        img = r.render(scene, args.width, args.height,
+                       scene_config=None if args.go_parity else cfg)
 
     out = args.output_file
     if not os.path.splitext(out)[1]:

@@ -760,6 +760,54 @@ class Renderer:
         bd.timestamp = time.strftime("%Y-%m-%dT%H:%M:%S%z")
         return img
 
+    def render_adaptive(self, scene, width: int, height: int,
+                        scene_config=None, min_spp: int = 8,
+                        rel_tol: float = 0.02, abs_tol: float = 1e-4,
+                        batch: Optional[int] = None):
+        """Adaptive-spp render to ((H,W,3) uint8, (H,W) spp map).
+
+        `self.samples` is the per-pixel cap (max_spp); pixels stop as
+        soon as their luminance standard error clears the tolerance
+        (adaptive.py). Scene-config renderer/effects blocks are honored
+        like render().
+        """
+        from . import adaptive as adaptive_mod
+        if scene_config is not None and scene_config.renderer:
+            rb = scene_config.renderer
+            if "samples" in rb:
+                self.set_samples(rb["samples"])
+            if "maxDepth" in rb:
+                self.set_max_depth(rb["maxDepth"])
+        cfg = self.trace_config()
+        engine = ("pallas" if (jax.default_backend() == "tpu"
+                               and self.engine in ("auto", "pallas")
+                               and self._pallas_ok(scene, cfg))
+                  else "jnp")
+        t0 = time.perf_counter()
+        linear, spp = adaptive_mod.render_adaptive(
+            scene, width=width, height=height, cfg=cfg,
+            min_spp=min(min_spp, self.samples), max_spp=self.samples,
+            batch=batch or max(1, min(8, min_spp)), rel_tol=rel_tol,
+            abs_tol=abs_tol, go_camera=self.go_camera, engine=engine)
+        if scene_config is not None:
+            linear = self._apply_scene_effects(scene, linear, width,
+                                               height, scene_config)
+        img = np.asarray(
+            tonemap.to_rgb8(tonemap.tonemap(jnp.asarray(linear))))
+        dt = time.perf_counter() - t0
+
+        bd = self.benchmark_data
+        bd.scene_name = "demo_scene"
+        bd.resolution = f"{width}x{height}"
+        bd.render_time_seconds = dt
+        bd.samples = float(spp.mean())  # actual mean spp, not the cap
+        bd.max_depth = self.max_depth
+        bd.num_workers = self.num_workers
+        bd.objects = scene.sph_count + scene.mesh_count
+        bd.lights = int(scene.lights.position.shape[0])
+        bd.timestamp = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+        return img, spp
+
     def _primary_depth(self, scene, width: int, height: int):
         """Per-pixel center-ray hit distance (BIG on miss) for fog/DoF."""
         from .ops import intersect as isect

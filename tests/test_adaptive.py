@@ -81,6 +81,19 @@ def test_adaptive_saves_samples_on_flat_pixels():
     assert spp.mean() < 32 / 2
 
 
+def test_renderer_adaptive_wrapper():
+    """Renderer.render_adaptive: uint8 image + spp map, benchmark data
+    records the MEAN spp actually taken (not the cap)."""
+    scene = _scene()
+    r = renderer_mod.Renderer()
+    r.set_samples(16)
+    r.set_max_depth(3)
+    img, spp = r.render_adaptive(scene, W, H, min_spp=4, rel_tol=0.05)
+    assert img.dtype == np.uint8 and img.shape == (H, W, 3)
+    assert spp.shape == (H, W) and spp.min() >= 4 and spp.max() <= 16
+    assert r.benchmark_data.samples == float(spp.mean())
+
+
 def test_adaptive_image_close_to_converged_reference():
     """The adaptive image with modest tolerances stays statistically
     close to a high-spp fixed render."""
