@@ -46,10 +46,11 @@ from .scene import load as load_scene, from_dict as scene_from_dict, Scene
 from .renderer import Renderer, render_band
 from .trace import TraceConfig, trace as trace_rays
 from .adaptive import render_adaptive
+from .aov import render_aovs
 
 __version__ = "0.1.0"
 
 __all__ = [
     "load_scene", "scene_from_dict", "Scene", "Renderer", "render_band",
-    "TraceConfig", "trace_rays", "render_adaptive",
+    "TraceConfig", "trace_rays", "render_adaptive", "render_aovs",
 ]
