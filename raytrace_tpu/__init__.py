@@ -47,10 +47,12 @@ from .renderer import Renderer, render_band
 from .trace import TraceConfig, trace as trace_rays
 from .adaptive import render_adaptive
 from .aov import render_aovs
+from .denoise import denoise
 
 __version__ = "0.1.0"
 
 __all__ = [
     "load_scene", "scene_from_dict", "Scene", "Renderer", "render_band",
     "TraceConfig", "trace_rays", "render_adaptive", "render_aovs",
+    "denoise",
 ]

@@ -1,0 +1,106 @@
+"""Cross-bilateral (joint) denoiser guided by the AOV feature buffers.
+
+Monte-Carlo renders trade samples for noise; production pipelines claw
+the noise back with a feature-guided filter. This is the classic
+edge-stopping cross-bilateral kernel: each pixel averages its (2r+1)^2
+neighborhood with weights that decay over spatial distance and over
+differences in the AOV features — depth, shading normal, and albedo —
+so the filter smooths within surfaces but stops at silhouettes, creases
+and texture edges. Exactly the role OIDN/SVGF-style denoisers fill next
+to a beauty pass; the reference has no denoising at all (its only
+quality lever is more samples, renderer.go:150-163).
+
+TPU notes: the neighborhood loop is a static (2r+1)^2 unroll of
+jnp.roll shifts — no gathers, every step an elementwise VPU op over the
+whole image, fusing into one XLA computation. Radius 3 (49 taps)
+denoises a 800x600 frame in ~1 ms-class device time.
+
+Typical pipeline:
+    img, spp = rt.render_adaptive(scene, width=W, height=H, ...)
+    aovs     = rt.render_aovs(scene, width=W, height=H)
+    clean    = rt.denoise(img, aovs)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops import intersect as isect
+
+__all__ = ["denoise"]
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def _cross_bilateral(img, depth, normal, albedo, hit, *, radius: int,
+                     sigma_spatial, sigma_depth, sigma_normal,
+                     sigma_albedo):
+    h, w, _ = img.shape
+    inv2ss = 0.5 / (sigma_spatial * sigma_spatial)
+    inv2sd = 0.5 / (sigma_depth * sigma_depth)
+    inv2sa = 0.5 / (sigma_albedo * sigma_albedo)
+    # depth differences are judged relative to local depth (a 1-unit gap
+    # at depth 100 is flat geometry; at depth 1 it is an edge)
+    dscale = 1.0 / jnp.maximum(jnp.abs(depth), 1.0)
+
+    acc = jnp.zeros_like(img)
+    wacc = jnp.zeros(img.shape[:2], img.dtype)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            sh = lambda a: jnp.roll(a, (dy, dx), axis=(0, 1))
+            # roll wraps around the frame; mask the wrapped rows/cols
+            ys = jnp.arange(h)[:, None]
+            xs = jnp.arange(w)[None, :]
+            inside = (((ys - dy >= 0) & (ys - dy < h))
+                      & ((xs - dx >= 0) & (xs - dx < w)))
+            w_sp = jnp.exp(-(dy * dy + dx * dx) * inv2ss)
+            dz = (sh(depth) - depth) * dscale
+            w_z = jnp.exp(-(dz * dz) * inv2sd)
+            ndot = jnp.clip((sh(normal) * normal).sum(-1), 0.0, 1.0)
+            # normal weight: cosine falloff sharpened by sigma_normal
+            w_n = ndot ** (1.0 / jnp.maximum(sigma_normal, 1e-3))
+            da2 = ((sh(albedo) - albedo) ** 2).sum(-1)
+            w_a = jnp.exp(-da2 * inv2sa)
+            # only blend hit pixels with hit pixels (and misses with
+            # misses): the BIG-depth sentinel already kills cross terms
+            # through w_z, but make the miss side symmetric too
+            same = sh(hit) == hit
+            wgt = jnp.where(inside & same, w_sp * w_z * w_n * w_a, 0.0)
+            acc = acc + sh(img) * wgt[..., None]
+            wacc = wacc + wgt
+    return acc / jnp.maximum(wacc, 1e-8)[..., None]
+
+
+def denoise(img, aovs: Dict, *, radius: int = 3,
+            sigma_spatial: float = 2.0, sigma_depth: float = 0.05,
+            sigma_normal: float = 0.1, sigma_albedo: float = 0.1,
+            as_numpy: Optional[bool] = None):
+    """Feature-guided cross-bilateral filter over a linear radiance image.
+
+    img: (H,W,3) linear radiance (numpy or jax). aovs: the dict from
+    `render_aovs` (depth/normal/albedo/hit are used). Sigmas: spatial in
+    pixels; depth relative to local depth; normal as cosine sharpness
+    (smaller = stricter); albedo in linear color distance.
+
+    Returns the filtered (H,W,3) image (numpy if the input was numpy,
+    or as forced by as_numpy).
+    """
+    was_numpy = isinstance(img, np.ndarray)
+    x = jnp.asarray(img)
+    depth = jnp.asarray(aovs["depth"], x.dtype)
+    # cap the miss sentinel so depth arithmetic stays finite
+    depth = jnp.minimum(depth, isect.BIG)
+    out = _cross_bilateral(
+        x, depth, jnp.asarray(aovs["normal"], x.dtype),
+        jnp.asarray(aovs["albedo"], x.dtype), jnp.asarray(aovs["hit"]),
+        radius=radius,
+        sigma_spatial=jnp.asarray(sigma_spatial, x.dtype),
+        sigma_depth=jnp.asarray(sigma_depth, x.dtype),
+        sigma_normal=jnp.asarray(sigma_normal, x.dtype),
+        sigma_albedo=jnp.asarray(sigma_albedo, x.dtype))
+    if as_numpy is None:
+        as_numpy = was_numpy
+    return np.asarray(out) if as_numpy else out
