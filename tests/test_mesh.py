@@ -91,6 +91,29 @@ def test_scene_mesh_object_and_parity_skip(tmp_path):
     assert scene_p.geometry.tri_v0.shape == (0, 3)
 
 
+def test_mesh_vertices_are_differentiable(tmp_path):
+    """OBJ meshes ride the same triangle SoA as cubes, so vertex
+    gradients flow (diff.split_params re-derives face normals from the
+    vertices; see diff.py)."""
+    from raytrace_tpu import diff as diff_mod
+    (tmp_path / "quad.obj").write_text(
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\nf 1 2 3 4\n")
+    d = {"camera": {"position": [0, 0, 4], "aspectRatio": 1.0},
+         "objects": [{"type": "mesh", "path": "quad.obj",
+                      "position": [0, 0, 0], "scale": 1.5,
+                      "material": {"type": "lambertian",
+                                   "color": [0.7, 0.3, 0.2]}}],
+         "lights": [{"position": [1, 2, 5], "color": [1, 1, 1],
+                     "intensity": 20.0}]}
+    scene, _ = scene_mod.from_dict(d, base_dir=str(tmp_path),
+                                   build_accel=False)
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=2, shadow_samples=1)
+    _, g = diff_mod.render_and_grad(scene, 12, 10, samples=2, cfg=cfg)
+    gv = np.asarray(g["geometry"]["tri_v0"])
+    assert np.isfinite(gv).all()
+    assert np.abs(gv).max() > 0.0  # shading responds to vertex motion
+
+
 def test_mesh_renders_end_to_end(tmp_path):
     (tmp_path / "quad.obj").write_text(
         "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\nf 1 2 3 4\n")
