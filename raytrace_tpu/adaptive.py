@@ -75,13 +75,17 @@ def render_adaptive(scene, *, width: int, height: int,
                     rel_tol: float = 0.02, abs_tol: float = 1e-4,
                     go_camera: bool = True, engine: str = "jnp",
                     pad_quantum: int = 1024,
-                    ) -> Tuple[np.ndarray, np.ndarray]:
+                    return_variance: bool = False):
     """Render with per-pixel adaptive sample counts.
 
-    Returns (linear image (H, W, 3) float32, spp map (H, W) int32).
-    Every pixel receives samples 0..n-1 of the deterministic sample
-    sequence, so with rel_tol=abs_tol=0 (never converge early) the image
-    equals a fixed max_spp render up to float summation order.
+    Returns (linear image (H, W, 3) float32, spp map (H, W) int32);
+    with return_variance=True a third element carries the (H, W)
+    variance-of-the-mean of per-pixel luminance — the noise estimate
+    SVGF-style denoisers want next to the beauty pass (denoise.py's
+    `variance=` input). Every pixel receives samples 0..n-1 of the
+    deterministic sample sequence, so with rel_tol=abs_tol=0 (never
+    converge early) the image equals a fixed max_spp render up to float
+    summation order.
     """
     if cfg is None:
         cfg = trace_mod.TraceConfig()
@@ -126,5 +130,13 @@ def render_adaptive(scene, *, width: int, height: int,
             active = active[keep]
 
     img = (sum_rgb / np.maximum(n_taken, 1)[:, None]).astype(np.float32)
-    return (img.reshape(height, width, 3),
-            n_taken.astype(np.int32).reshape(height, width))
+    out = (img.reshape(height, width, 3),
+           n_taken.astype(np.int32).reshape(height, width))
+    if return_variance:
+        n = np.maximum(n_taken, 1).astype(np.float64)
+        mean = sum_y / n
+        var = np.maximum(0.0, (sum_y2 / n - mean * mean)
+                         * (n / np.maximum(n - 1.0, 1.0)))
+        out = out + ((var / n).astype(np.float32)
+                     .reshape(height, width),)
+    return out

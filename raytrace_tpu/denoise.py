@@ -34,10 +34,13 @@ from .ops import intersect as isect
 __all__ = ["denoise"]
 
 
-@partial(jax.jit, static_argnames=("radius",))
-def _cross_bilateral(img, depth, normal, albedo, hit, *, radius: int,
-                     sigma_spatial, sigma_depth, sigma_normal,
-                     sigma_albedo):
+_LUMA = (0.2126, 0.7152, 0.0722)
+
+
+@partial(jax.jit, static_argnames=("radius", "use_variance"))
+def _cross_bilateral(img, depth, normal, albedo, hit, variance, *,
+                     radius: int, use_variance: bool, sigma_spatial,
+                     sigma_depth, sigma_normal, sigma_albedo, sigma_lum):
     h, w, _ = img.shape
     inv2ss = 0.5 / (sigma_spatial * sigma_spatial)
     inv2sd = 0.5 / (sigma_depth * sigma_depth)
@@ -46,10 +49,18 @@ def _cross_bilateral(img, depth, normal, albedo, hit, *, radius: int,
     # at depth 100 is flat geometry; at depth 1 it is an edge)
     dscale = 1.0 / jnp.maximum(jnp.abs(depth), 1.0)
 
+    if use_variance:
+        # SVGF-style radiance edge-stopping: luminance differences are
+        # judged against the local MC noise level, so converged signal
+        # detail survives while genuine noise (difference ~ sqrt(var))
+        # still averages out.
+        luma = img @ jnp.asarray(_LUMA, img.dtype)
+
     acc = jnp.zeros_like(img)
     wacc = jnp.zeros(img.shape[:2], img.dtype)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
+            # (loop is a static unroll; every term below is elementwise)
             sh = lambda a: jnp.roll(a, (dy, dx), axis=(0, 1))
             # roll wraps around the frame; mask the wrapped rows/cols
             ys = jnp.arange(h)[:, None]
@@ -68,22 +79,39 @@ def _cross_bilateral(img, depth, normal, albedo, hit, *, radius: int,
             # misses): the BIG-depth sentinel already kills cross terms
             # through w_z, but make the miss side symmetric too
             same = sh(hit) == hit
-            wgt = jnp.where(inside & same, w_sp * w_z * w_n * w_a, 0.0)
+            wgt = w_sp * w_z * w_n * w_a
+            if use_variance:
+                dl = sh(luma) - luma
+                den = (sigma_lum * sigma_lum
+                       * (sh(variance) + variance) + 1e-10)
+                wgt = wgt * jnp.exp(-(dl * dl) / den)
+            wgt = jnp.where(inside & same, wgt, 0.0)
             acc = acc + sh(img) * wgt[..., None]
             wacc = wacc + wgt
-    return acc / jnp.maximum(wacc, 1e-8)[..., None]
+    out = acc / jnp.maximum(wacc, 1e-8)[..., None]
+    # Miss pixels pass through unfiltered: their center-ray features say
+    # "empty", but at low spp their radiance is partial silhouette
+    # coverage from jittered samples - real signal the flat feature
+    # buffers would smear across the background.
+    return jnp.where(hit[..., None], out, img)
 
 
-def denoise(img, aovs: Dict, *, radius: int = 3,
+def denoise(img, aovs: Dict, *, variance=None, radius: int = 3,
             sigma_spatial: float = 2.0, sigma_depth: float = 0.05,
             sigma_normal: float = 0.1, sigma_albedo: float = 0.1,
-            as_numpy: Optional[bool] = None):
+            sigma_lum: float = 4.0, as_numpy: Optional[bool] = None):
     """Feature-guided cross-bilateral filter over a linear radiance image.
 
     img: (H,W,3) linear radiance (numpy or jax). aovs: the dict from
-    `render_aovs` (depth/normal/albedo/hit are used). Sigmas: spatial in
-    pixels; depth relative to local depth; normal as cosine sharpness
-    (smaller = stricter); albedo in linear color distance.
+    `render_aovs` (depth/normal/albedo/hit are used). variance: optional
+    (H,W) per-pixel variance of the mean luminance (e.g. from
+    `render_adaptive(..., return_variance=True)`) — adds the SVGF-style
+    radiance edge-stopping term, which preserves converged high-frequency
+    signal (glass refraction, sharp reflections) that feature buffers
+    cannot distinguish from noise. Sigmas: spatial in pixels; depth
+    relative to local depth; normal as cosine sharpness (smaller =
+    stricter); albedo in linear color distance; lum in noise standard
+    deviations (bigger = more permissive).
 
     Returns the filtered (H,W,3) image (numpy if the input was numpy,
     or as forced by as_numpy).
@@ -93,14 +121,18 @@ def denoise(img, aovs: Dict, *, radius: int = 3,
     depth = jnp.asarray(aovs["depth"], x.dtype)
     # cap the miss sentinel so depth arithmetic stays finite
     depth = jnp.minimum(depth, isect.BIG)
+    use_var = variance is not None
+    var = (jnp.asarray(variance, x.dtype) if use_var
+           else jnp.zeros(x.shape[:2], x.dtype))
     out = _cross_bilateral(
         x, depth, jnp.asarray(aovs["normal"], x.dtype),
         jnp.asarray(aovs["albedo"], x.dtype), jnp.asarray(aovs["hit"]),
-        radius=radius,
+        var, radius=radius, use_variance=use_var,
         sigma_spatial=jnp.asarray(sigma_spatial, x.dtype),
         sigma_depth=jnp.asarray(sigma_depth, x.dtype),
         sigma_normal=jnp.asarray(sigma_normal, x.dtype),
-        sigma_albedo=jnp.asarray(sigma_albedo, x.dtype))
+        sigma_albedo=jnp.asarray(sigma_albedo, x.dtype),
+        sigma_lum=jnp.asarray(sigma_lum, x.dtype))
     if as_numpy is None:
         as_numpy = was_numpy
     return np.asarray(out) if as_numpy else out

@@ -2,7 +2,9 @@
 
 import numpy as np
 
-from raytrace_tpu import denoise as dn
+# NB: the package re-exports the denoise FUNCTION as rt.denoise, which
+# shadows the submodule attribute of the same name - import the function.
+from raytrace_tpu.denoise import denoise
 from raytrace_tpu import aov
 from raytrace_tpu import renderer as renderer_mod
 from raytrace_tpu import scene as scene_mod
@@ -36,7 +38,7 @@ def _synthetic():
 
 def test_denoise_reduces_noise_preserves_edge():
     clean, noisy, aovs, left = _synthetic()
-    out = dn.denoise(noisy, aovs, radius=3)
+    out = denoise(noisy, aovs, radius=3)
     assert isinstance(out, np.ndarray)
     # interior noise drops by a lot (measure away from the split)
     err_in = np.abs(noisy - clean)[:, 4:12].mean()
@@ -55,9 +57,52 @@ def test_denoise_ignores_wrapped_neighbors():
     clean, noisy, aovs, _ = _synthetic()
     # make the two frame edges identical in features but far in value:
     # if wrap leaked, column 0 would pull toward column -1's value
-    out = dn.denoise(noisy, aovs, radius=3)
+    out = denoise(noisy, aovs, radius=3)
     assert abs(out[:, 0].mean() - 0.2) < 0.1
     assert abs(out[:, -1].mean() - 0.8) < 0.1
+
+
+def test_denoise_miss_pixels_pass_through():
+    """Center-ray miss pixels carry partial silhouette coverage at low
+    spp; the filter must leave them untouched."""
+    clean, noisy, aovs, _ = _synthetic()
+    aovs["hit"][:, :4] = False
+    out = denoise(noisy, aovs, radius=3)
+    np.testing.assert_array_equal(out[:, :4], noisy[:, :4])
+    assert not np.array_equal(out[:, 8:12], noisy[:, 8:12])
+
+
+def test_denoise_variance_term_preserves_converged_detail():
+    """SVGF-style radiance edge-stopping: a high-frequency pattern with
+    near-zero MC variance must survive filtering (the feature buffers
+    alone would smear it), while a genuinely noisy flat region still
+    smooths."""
+    H, W = 16, 32
+    rs = np.random.default_rng(1)
+    # left half: sharp converged stripes; right half: flat + noise
+    stripes = 0.2 + 0.6 * (np.arange(W)[None, :] % 2)
+    clean = np.where(np.arange(W)[None, :] < W // 2, stripes, 0.5)
+    clean = np.broadcast_to(clean[..., None], (H, W, 3)).astype(np.float32)
+    noise = rs.normal(0, 0.08, clean.shape).astype(np.float32)
+    noise[:, :W // 2] = 0.0                      # left is converged
+    noisy = clean + noise
+    var = np.where(np.arange(W)[None, :] < W // 2, 1e-8, 0.08 ** 2)
+    var = (var * np.ones((H, W))).astype(np.float32)
+    aovs = {"depth": np.full((H, W), 5.0, np.float32),
+            "normal": np.broadcast_to(
+                np.array([0, 0, 1.0], np.float32), (H, W, 3)).copy(),
+            "albedo": np.full((H, W, 3), 0.5, np.float32),
+            "hit": np.ones((H, W), bool)}
+    plain = denoise(noisy, aovs, radius=2)
+    guided = denoise(noisy, aovs, radius=2, variance=var, sigma_lum=4.0)
+    L, R = (slice(None), slice(2, W // 2 - 2)), (slice(None),
+                                                 slice(W // 2 + 2, -2))
+    # stripes: guided stays near-exact, plain smears them flat
+    assert np.abs(guided[L] - clean[L]).mean() < 0.02
+    assert np.abs(plain[L] - clean[L]).mean() > 0.1
+    # noisy flat side still denoises under guidance
+    assert (np.abs(guided[R] - clean[R]).mean()
+            < 0.7 * np.abs(noisy[R] - clean[R]).mean())
 
 
 def test_denoise_end_to_end_with_render():
@@ -83,7 +128,7 @@ def test_denoise_end_to_end_with_render():
         scene, jnp.int32(0), width=W, height=H, band_h=H, samples=128,
         cfg=cfg))
     aovs = aov.render_aovs(scene, width=W, height=H)
-    out = dn.denoise(noisy, aovs, radius=2)
+    out = denoise(noisy, aovs, radius=2)
     hit = aovs["hit"]
     assert (np.abs(out - ref).mean(axis=-1)[hit].mean()
             < np.abs(noisy - ref).mean(axis=-1)[hit].mean())
