@@ -39,6 +39,10 @@ __all__ = ["render_adaptive"]
 _LUMA = np.array([0.2126, 0.7152, 0.0722], np.float32)
 
 
+def _round_up_multiple(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
                                    "go_camera", "engine", "block_rows"))
 def _sample_batch(scene, pix_pad, s0, *, width: int, height: int,
@@ -69,13 +73,45 @@ def _sample_batch(scene, pix_pad, s0, *, width: int, height: int,
     return rad.sum(axis=1), luma.sum(axis=1), (luma * luma).sum(axis=1)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
+                                   "go_camera", "mesh"))
+def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
+                          batch: int, cfg: trace_mod.TraceConfig,
+                          go_camera: bool, mesh):
+    """_sample_batch with the pixel axis sharded over every mesh device.
+
+    Each pixel's whole sample batch stays on one device, so the per-pixel
+    sums are bit-identical to the unsharded path (the RNG keys by
+    (pixel, sample), never by placement)."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+
+    def local(scene, pix_l):
+        k = pix_l.shape[0]
+        pix = jnp.repeat(pix_l, batch)
+        samp = jnp.tile(jnp.arange(batch, dtype=jnp.uint32), k) + s0
+        rad = renderer_mod.lane_radiance(scene, pix, samp, width=width,
+                                         height=height, cfg=cfg,
+                                         go_camera=go_camera)
+        rad = rad.reshape(k, batch, 3)
+        luma = rad @ jnp.asarray(_LUMA, rad.dtype)
+        return rad.sum(axis=1), luma.sum(axis=1), (luma * luma).sum(axis=1)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axes)),
+        out_specs=(P(axes), P(axes), P(axes)),
+    )(scene, pix_pad)
+
+
 def render_adaptive(scene, *, width: int, height: int,
                     cfg: Optional[trace_mod.TraceConfig] = None,
                     min_spp: int = 8, max_spp: int = 64, batch: int = 8,
                     rel_tol: float = 0.02, abs_tol: float = 1e-4,
                     go_camera: bool = True, engine: str = "jnp",
                     pad_quantum: int = 1024,
-                    return_variance: bool = False):
+                    return_variance: bool = False, mesh=None):
     """Render with per-pixel adaptive sample counts.
 
     Returns (linear image (H, W, 3) float32, spp map (H, W) int32);
@@ -93,6 +129,12 @@ def render_adaptive(scene, *, width: int, height: int,
         raise ValueError("need 0 < min_spp <= max_spp")
     block_rows = (renderer_mod.pick_block_rows(scene)
                   if engine == "pallas" else 8)
+    if mesh is not None:
+        if engine == "pallas":
+            raise ValueError("mesh sharding uses the jnp wavefront; "
+                             "pass engine='jnp'")
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        pad_quantum = _round_up_multiple(pad_quantum, n_dev)
 
     n_px = width * height
     sum_rgb = np.zeros((n_px, 3), np.float64)
@@ -107,10 +149,16 @@ def render_adaptive(scene, *, width: int, height: int,
         k_pad = renderer_mod._pad_bucket(active.size, pad_quantum)
         pad = np.zeros(k_pad, np.uint32)
         pad[:active.size] = active
-        rgb, y, y2 = _sample_batch(
-            scene, jnp.asarray(pad), jnp.uint32(s0), width=width,
-            height=height, batch=b, cfg=cfg, go_camera=go_camera,
-            engine=engine, block_rows=block_rows)
+        if mesh is not None:
+            rgb, y, y2 = _sample_batch_sharded(
+                scene, jnp.asarray(pad), jnp.uint32(s0), width=width,
+                height=height, batch=b, cfg=cfg, go_camera=go_camera,
+                mesh=mesh)
+        else:
+            rgb, y, y2 = _sample_batch(
+                scene, jnp.asarray(pad), jnp.uint32(s0), width=width,
+                height=height, batch=b, cfg=cfg, go_camera=go_camera,
+                engine=engine, block_rows=block_rows)
         k = active.size
         sum_rgb[active] += np.asarray(rgb, np.float64)[:k]
         sum_y[active] += np.asarray(y, np.float64)[:k]

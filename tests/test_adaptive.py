@@ -81,6 +81,22 @@ def test_adaptive_saves_samples_on_flat_pixels():
     assert spp.mean() < 32 / 2
 
 
+def test_adaptive_sharded_matches_single_device():
+    """Pixel-axis sharding over the mesh is invisible: every pixel's
+    batch stays on one device and the RNG keys by (pixel, sample), so
+    the sharded run is bit-identical (image AND spp decisions)."""
+    from raytrace_tpu import parallel
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=3, shadow_samples=2)
+    kw = dict(width=W, height=H, cfg=cfg, min_spp=4, max_spp=16, batch=4,
+              rel_tol=0.05, abs_tol=1e-3, pad_quantum=64)
+    img1, spp1 = adaptive.render_adaptive(scene, **kw)
+    img8, spp8 = adaptive.render_adaptive(
+        scene, mesh=parallel.make_mesh(), **kw)
+    np.testing.assert_array_equal(img1, img8)
+    np.testing.assert_array_equal(spp1, spp8)
+
+
 def test_renderer_adaptive_wrapper():
     """Renderer.render_adaptive: uint8 image + spp map, benchmark data
     records the MEAN spp actually taken (not the cap)."""
