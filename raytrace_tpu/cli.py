@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adaptive-tol", type=float, default=0.02,
                    help="adaptive mode: relative luminance standard-"
                         "error tolerance")
+    p.add_argument("--denoise", action="store_true",
+                   help="AOV-guided cross-bilateral denoise of the "
+                        "linear image before tonemapping (with "
+                        "--adaptive the per-pixel variance also guides "
+                        "the radiance term)")
     return p
 
 
@@ -97,12 +102,14 @@ def main(argv=None) -> int:
         img, spp = r.render_adaptive(
             scene, args.width, args.height,
             scene_config=None if args.go_parity else cfg,
-            min_spp=args.min_spp, rel_tol=args.adaptive_tol)
+            min_spp=args.min_spp, rel_tol=args.adaptive_tol,
+            denoise=args.denoise)
         print(f"Adaptive sampling: mean {spp.mean():.1f} spp "
               f"(cap {args.samples}, floor {min(args.min_spp, args.samples)})")
     else:
         img = r.render(scene, args.width, args.height,
-                       scene_config=None if args.go_parity else cfg)
+                       scene_config=None if args.go_parity else cfg,
+                       denoise=args.denoise)
 
     out = args.output_file
     if not os.path.splitext(out)[1]:

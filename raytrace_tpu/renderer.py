@@ -712,11 +712,13 @@ class Renderer:
         return out
 
     def render(self, scene, width: int, height: int,
-               scene_config=None) -> np.ndarray:
+               scene_config=None, denoise: bool = False) -> np.ndarray:
         """Render to an (H,W,3) uint8 image, updating benchmark data.
 
         Scene-config renderer blocks (samples/maxDepth/...) are honored when
         provided - the Go loader drops them (scene.go:12-16); we don't.
+        denoise=True applies the AOV-guided cross-bilateral filter
+        (denoise.py) to the linear image before tonemapping.
         """
         if scene_config is not None and scene_config.renderer:
             rb = scene_config.renderer
@@ -732,7 +734,8 @@ class Renderer:
                 self.set_soft_shadows(rb["softShadows"])
 
         t0 = time.perf_counter()
-        if (scene_config is None and jax.default_backend() == "tpu"
+        if (scene_config is None and not denoise
+                and jax.default_backend() == "tpu"
                 and self.engine in ("auto", "pallas")
                 and self._pallas_ok(scene, self.trace_config())):
             # Tonemap + quantize on device and pull uint8: 4x less
@@ -741,6 +744,8 @@ class Renderer:
             img = np.asarray(tonemap.to_rgb8(tonemap.tonemap(linear_dev)))
         else:
             linear = self.render_linear(scene, width, height)
+            if denoise:
+                linear = self._denoise_linear(scene, linear, width, height)
             if scene_config is not None:
                 linear = self._apply_scene_effects(scene, linear, width,
                                                    height, scene_config)
@@ -763,13 +768,15 @@ class Renderer:
     def render_adaptive(self, scene, width: int, height: int,
                         scene_config=None, min_spp: int = 8,
                         rel_tol: float = 0.02, abs_tol: float = 1e-4,
-                        batch: Optional[int] = None):
+                        batch: Optional[int] = None,
+                        denoise: bool = False):
         """Adaptive-spp render to ((H,W,3) uint8, (H,W) spp map).
 
         `self.samples` is the per-pixel cap (max_spp); pixels stop as
         soon as their luminance standard error clears the tolerance
         (adaptive.py). Scene-config renderer/effects blocks are honored
-        like render().
+        like render(). denoise=True runs the AOV-guided filter with the
+        sampler's own variance map feeding the radiance term.
         """
         from . import adaptive as adaptive_mod
         if scene_config is not None and scene_config.renderer:
@@ -784,11 +791,15 @@ class Renderer:
                                and self._pallas_ok(scene, cfg))
                   else "jnp")
         t0 = time.perf_counter()
-        linear, spp = adaptive_mod.render_adaptive(
+        linear, spp, var = adaptive_mod.render_adaptive(
             scene, width=width, height=height, cfg=cfg,
             min_spp=min(min_spp, self.samples), max_spp=self.samples,
             batch=batch or max(1, min(8, min_spp)), rel_tol=rel_tol,
-            abs_tol=abs_tol, go_camera=self.go_camera, engine=engine)
+            abs_tol=abs_tol, go_camera=self.go_camera, engine=engine,
+            return_variance=True)
+        if denoise:
+            linear = self._denoise_linear(scene, linear, width, height,
+                                          variance=var)
         if scene_config is not None:
             linear = self._apply_scene_effects(scene, linear, width,
                                                height, scene_config)
@@ -807,6 +818,18 @@ class Renderer:
         bd.lights = int(scene.lights.position.shape[0])
         bd.timestamp = time.strftime("%Y-%m-%dT%H:%M:%S%z")
         return img, spp
+
+    def _denoise_linear(self, scene, linear, width: int, height: int,
+                        variance=None):
+        """AOV-guided cross-bilateral filter on a linear image."""
+        from . import aov as aov_mod
+        # NB: plain `from . import denoise` would bind the package's
+        # re-exported FUNCTION (it shadows the submodule attribute).
+        from .denoise import denoise as denoise_fn
+        aovs = aov_mod.render_aovs(scene, width=width, height=height,
+                                   go_camera=self.go_camera,
+                                   as_numpy=False)
+        return denoise_fn(linear, aovs, variance=variance)
 
     def _primary_depth(self, scene, width: int, height: int):
         """Per-pixel center-ray hit distance (BIG on miss) for fog/DoF."""

@@ -108,6 +108,12 @@ def test_renderer_adaptive_wrapper():
     assert img.dtype == np.uint8 and img.shape == (H, W, 3)
     assert spp.shape == (H, W) and spp.min() >= 4 and spp.max() <= 16
     assert r.benchmark_data.samples == float(spp.mean())
+    # denoise=True routes through the AOV-guided filter (same shapes,
+    # still finite uint8)
+    img_dn, _ = r.render_adaptive(scene, W, H, min_spp=4, rel_tol=0.05,
+                                  denoise=True)
+    assert img_dn.dtype == np.uint8 and img_dn.shape == (H, W, 3)
+    assert not np.array_equal(img_dn, img)  # the filter did something
 
 
 def test_adaptive_image_close_to_converged_reference():
