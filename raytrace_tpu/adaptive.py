@@ -105,13 +105,49 @@ def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
     )(scene, pix_pad)
 
 
+_CKPT_VERSION = 1
+
+
+def _save_ckpt(path: str, header: dict, state: dict) -> None:
+    """Atomic npz write (tmp + rename), parallel/checkpoint.py style."""
+    import os
+    import tempfile
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, version=_CKPT_VERSION, **header, **state)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _load_ckpt(path: str, header: dict) -> dict:
+    with np.load(path) as z:
+        if int(z["version"]) != _CKPT_VERSION:
+            raise ValueError(f"adaptive checkpoint schema "
+                             f"{int(z['version'])} != {_CKPT_VERSION}")
+        for k, v in header.items():
+            if not np.allclose(np.asarray(z[k]), np.asarray(v)):
+                raise ValueError(
+                    f"adaptive checkpoint mismatch on {k}: "
+                    f"{z[k]} != {v} - resuming would change the sample "
+                    f"sequence or the convergence decisions")
+        return {k: z[k] for k in
+                ("sum_rgb", "sum_y", "sum_y2", "n_taken", "active", "s0")}
+
+
 def render_adaptive(scene, *, width: int, height: int,
                     cfg: Optional[trace_mod.TraceConfig] = None,
                     min_spp: int = 8, max_spp: int = 64, batch: int = 8,
                     rel_tol: float = 0.02, abs_tol: float = 1e-4,
                     go_camera: bool = True, engine: str = "jnp",
                     pad_quantum: int = 1024,
-                    return_variance: bool = False, mesh=None):
+                    return_variance: bool = False, mesh=None,
+                    checkpoint_path: Optional[str] = None,
+                    checkpoint_every: int = 1, resume: bool = True):
     """Render with per-pixel adaptive sample counts.
 
     Returns (linear image (H, W, 3) float32, spp map (H, W) int32);
@@ -142,8 +178,31 @@ def render_adaptive(scene, *, width: int, height: int,
     sum_y2 = np.zeros(n_px, np.float64)
     n_taken = np.zeros(n_px, np.int64)
     active = np.arange(n_px, dtype=np.int64)
-
     s0 = 0
+
+    # Elastic resume: the full sampler state (accumulators + active set +
+    # sample cursor) round-trips through an atomic npz, and every field
+    # that steers the deterministic sample sequence or the convergence
+    # decisions is validated - a resumed render is bit-identical to an
+    # uninterrupted one (the counter RNG keys by (pixel, sample, seed)).
+    header = {"width": width, "height": height, "seed": cfg.seed,
+              "min_spp": min_spp, "max_spp": max_spp, "batch": batch,
+              "rel_tol": rel_tol, "abs_tol": abs_tol}
+    import os as _os
+    if checkpoint_path and resume and _os.path.exists(checkpoint_path):
+        st = _load_ckpt(checkpoint_path, header)
+        sum_rgb, sum_y, sum_y2 = st["sum_rgb"], st["sum_y"], st["sum_y2"]
+        n_taken, active, s0 = (st["n_taken"], st["active"].astype(np.int64),
+                               int(st["s0"]))
+
+    def _flush():
+        if checkpoint_path:
+            _save_ckpt(checkpoint_path, header,
+                       {"sum_rgb": sum_rgb, "sum_y": sum_y,
+                        "sum_y2": sum_y2, "n_taken": n_taken,
+                        "active": active, "s0": s0})
+
+    batches_done = 0
     while active.size and s0 < max_spp:
         b = int(min(batch, max_spp - s0))
         k_pad = renderer_mod._pad_bucket(active.size, pad_quantum)
@@ -177,6 +236,12 @@ def render_adaptive(scene, *, width: int, height: int,
             keep = stderr > (abs_tol + rel_tol * np.maximum(mean, 0.0))
             active = active[keep]
 
+        batches_done += 1
+        if checkpoint_path and batches_done % max(1, checkpoint_every) == 0:
+            _flush()
+
+    if checkpoint_path:
+        _flush()  # final state: a re-run resumes and returns immediately
     img = (sum_rgb / np.maximum(n_taken, 1)[:, None]).astype(np.float32)
     out = (img.reshape(height, width, 3),
            n_taken.astype(np.int32).reshape(height, width))

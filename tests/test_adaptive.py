@@ -97,6 +97,48 @@ def test_adaptive_sharded_matches_single_device():
     np.testing.assert_array_equal(spp1, spp8)
 
 
+def test_adaptive_checkpoint_resume_is_exact(tmp_path, monkeypatch):
+    """Kill the sampler mid-render, resume from the checkpoint: image,
+    spp map and convergence decisions are bit-identical to an
+    uninterrupted run (full state round-trips; counter RNG replays the
+    identical sample ids)."""
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=3, shadow_samples=2)
+    kw = dict(width=W, height=H, cfg=cfg, min_spp=4, max_spp=16, batch=4,
+              rel_tol=0.05, abs_tol=1e-3, pad_quantum=64)
+    ref_img, ref_spp = adaptive.render_adaptive(scene, **kw)
+
+    ckpt = str(tmp_path / "adaptive.ckpt.npz")
+    real = adaptive._sample_batch
+    calls = {"n": 0}
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise KeyboardInterrupt  # simulated kill mid-render
+        return real(*a, **k)
+
+    monkeypatch.setattr(adaptive, "_sample_batch", dying)
+    import pytest as _pytest
+    with _pytest.raises(KeyboardInterrupt):
+        adaptive.render_adaptive(scene, checkpoint_path=ckpt, **kw)
+    monkeypatch.setattr(adaptive, "_sample_batch", real)
+
+    img, spp = adaptive.render_adaptive(scene, checkpoint_path=ckpt, **kw)
+    np.testing.assert_array_equal(img, ref_img)
+    np.testing.assert_array_equal(spp, ref_spp)
+
+    # a repeated run resumes the finished state and returns immediately
+    img2, spp2 = adaptive.render_adaptive(scene, checkpoint_path=ckpt,
+                                          **kw)
+    np.testing.assert_array_equal(img2, ref_img)
+
+    # parameter drift is rejected (would silently change the estimator)
+    bad = dict(kw, rel_tol=0.01)
+    with _pytest.raises(ValueError):
+        adaptive.render_adaptive(scene, checkpoint_path=ckpt, **bad)
+
+
 def test_renderer_adaptive_wrapper():
     """Renderer.render_adaptive: uint8 image + spp map, benchmark data
     records the MEAN spp actually taken (not the cap)."""
