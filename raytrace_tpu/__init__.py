@@ -47,7 +47,7 @@ from .renderer import Renderer, render_band
 from .trace import TraceConfig, trace as trace_rays
 from .adaptive import render_adaptive
 from .aov import render_aovs
-from .denoise import denoise
+from .denoising import denoise
 
 __version__ = "0.1.0"
 

@@ -130,13 +130,31 @@ def _load_ckpt(path: str, header: dict) -> dict:
             raise ValueError(f"adaptive checkpoint schema "
                              f"{int(z['version'])} != {_CKPT_VERSION}")
         for k, v in header.items():
-            if not np.allclose(np.asarray(z[k]), np.asarray(v)):
+            got = z[k]
+            same = (str(got) == str(v) if isinstance(v, str)
+                    else np.allclose(np.asarray(got), np.asarray(v)))
+            if not same:
                 raise ValueError(
                     f"adaptive checkpoint mismatch on {k}: "
-                    f"{z[k]} != {v} - resuming would change the sample "
+                    f"{got} != {v} - resuming would change the sample "
                     f"sequence or the convergence decisions")
         return {k: z[k] for k in
                 ("sum_rgb", "sum_y", "sum_y2", "n_taken", "active", "s0")}
+
+
+def _scene_fingerprint(scene) -> str:
+    """Content hash over every scene array (geometry, materials, lights,
+    camera, accel tables): a resumed accumulation must be fed by the
+    identical scene or the blended estimator is silently wrong."""
+    import hashlib
+    import jax
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(scene):
+        a = np.asarray(leaf)
+        h.update(str(a.dtype).encode())
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()[:16]
 
 
 def render_adaptive(scene, *, width: int, height: int,
@@ -153,7 +171,7 @@ def render_adaptive(scene, *, width: int, height: int,
     Returns (linear image (H, W, 3) float32, spp map (H, W) int32);
     with return_variance=True a third element carries the (H, W)
     variance-of-the-mean of per-pixel luminance — the noise estimate
-    SVGF-style denoisers want next to the beauty pass (denoise.py's
+    SVGF-style denoisers want next to the beauty pass (denoising.py's
     `variance=` input). Every pixel receives samples 0..n-1 of the
     deterministic sample sequence, so with rel_tol=abs_tol=0 (never
     converge early) the image equals a fixed max_spp render up to float
@@ -181,13 +199,21 @@ def render_adaptive(scene, *, width: int, height: int,
     s0 = 0
 
     # Elastic resume: the full sampler state (accumulators + active set +
-    # sample cursor) round-trips through an atomic npz, and every field
+    # sample cursor) round-trips through an atomic npz, and every input
     # that steers the deterministic sample sequence or the convergence
-    # decisions is validated - a resumed render is bit-identical to an
-    # uninterrupted one (the counter RNG keys by (pixel, sample, seed)).
-    header = {"width": width, "height": height, "seed": cfg.seed,
+    # decisions is validated - the whole TraceConfig (repr is exhaustive
+    # for a frozen dataclass), the camera model, and a content hash of
+    # every scene array - so a resumed render is bit-identical to an
+    # uninterrupted one. `engine` is deliberately NOT pinned: jnp and
+    # Pallas are bit-identical by the repo's core invariant, and
+    # resuming a TPU render on CPU (or back) is a legitimate elastic-
+    # recovery path.
+    header = {"width": width, "height": height,
               "min_spp": min_spp, "max_spp": max_spp, "batch": batch,
-              "rel_tol": rel_tol, "abs_tol": abs_tol}
+              "rel_tol": rel_tol, "abs_tol": abs_tol,
+              "cfg_repr": repr(cfg), "go_camera": go_camera}
+    if checkpoint_path:
+        header["scene_sha"] = _scene_fingerprint(scene)
     import os as _os
     if checkpoint_path and resume and _os.path.exists(checkpoint_path):
         st = _load_ckpt(checkpoint_path, header)

@@ -56,15 +56,18 @@ def _cross_bilateral(img, depth, normal, albedo, hit, variance, *,
         # still averages out.
         luma = img @ jnp.asarray(_LUMA, img.dtype)
 
+    # loop-invariant index planes for the wrap mask (the tap loop below
+    # is a static unroll; keep its per-tap subgraph minimal)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+
     acc = jnp.zeros_like(img)
     wacc = jnp.zeros(img.shape[:2], img.dtype)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
-            # (loop is a static unroll; every term below is elementwise)
+            # (every term below is elementwise)
             sh = lambda a: jnp.roll(a, (dy, dx), axis=(0, 1))
             # roll wraps around the frame; mask the wrapped rows/cols
-            ys = jnp.arange(h)[:, None]
-            xs = jnp.arange(w)[None, :]
             inside = (((ys - dy >= 0) & (ys - dy < h))
                       & ((xs - dx >= 0) & (xs - dx < w)))
             w_sp = jnp.exp(-(dy * dy + dx * dx) * inv2ss)

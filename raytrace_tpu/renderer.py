@@ -718,20 +718,9 @@ class Renderer:
         Scene-config renderer blocks (samples/maxDepth/...) are honored when
         provided - the Go loader drops them (scene.go:12-16); we don't.
         denoise=True applies the AOV-guided cross-bilateral filter
-        (denoise.py) to the linear image before tonemapping.
+        (denoising.py) to the linear image before tonemapping.
         """
-        if scene_config is not None and scene_config.renderer:
-            rb = scene_config.renderer
-            if "samples" in rb:
-                self.set_samples(rb["samples"])
-            if "maxDepth" in rb:
-                self.set_max_depth(rb["maxDepth"])
-            if "antiAliasing" in rb:
-                self.set_anti_aliasing(rb["antiAliasing"])
-            if "recursiveReflections" in rb:
-                self.set_recursive_reflections(rb["recursiveReflections"])
-            if "softShadows" in rb:
-                self.set_soft_shadows(rb["softShadows"])
+        self._apply_renderer_block(scene_config)
 
         t0 = time.perf_counter()
         if (scene_config is None and not denoise
@@ -751,19 +740,39 @@ class Renderer:
                                                    height, scene_config)
             img = np.asarray(
                 tonemap.to_rgb8(tonemap.tonemap(jnp.asarray(linear))))
-        dt = time.perf_counter() - t0
+        self._fill_benchmark(scene, width, height,
+                             time.perf_counter() - t0, self.samples)
+        return img
 
+    def _apply_renderer_block(self, scene_config) -> None:
+        """Honor the scene JSON's renderer block - the Go loader drops it
+        (scene.go:12-16); we don't."""
+        if scene_config is None or not scene_config.renderer:
+            return
+        rb = scene_config.renderer
+        if "samples" in rb:
+            self.set_samples(rb["samples"])
+        if "maxDepth" in rb:
+            self.set_max_depth(rb["maxDepth"])
+        if "antiAliasing" in rb:
+            self.set_anti_aliasing(rb["antiAliasing"])
+        if "recursiveReflections" in rb:
+            self.set_recursive_reflections(rb["recursiveReflections"])
+        if "softShadows" in rb:
+            self.set_soft_shadows(rb["softShadows"])
+
+    def _fill_benchmark(self, scene, width: int, height: int, dt: float,
+                        samples) -> None:
         bd = self.benchmark_data
         bd.scene_name = "demo_scene"  # GetSceneName() parity (scene.go:100-102)
         bd.resolution = f"{width}x{height}"
         bd.render_time_seconds = dt
-        bd.samples = self.samples
+        bd.samples = samples
         bd.max_depth = self.max_depth
         bd.num_workers = self.num_workers
-        bd.objects = scene.sph_count + scene.mesh_count
+        bd.objects = scene.num_objects
         bd.lights = int(scene.lights.position.shape[0])
         bd.timestamp = time.strftime("%Y-%m-%dT%H:%M:%S%z")
-        return img
 
     def render_adaptive(self, scene, width: int, height: int,
                         scene_config=None, min_spp: int = 8,
@@ -779,12 +788,7 @@ class Renderer:
         sampler's own variance map feeding the radiance term.
         """
         from . import adaptive as adaptive_mod
-        if scene_config is not None and scene_config.renderer:
-            rb = scene_config.renderer
-            if "samples" in rb:
-                self.set_samples(rb["samples"])
-            if "maxDepth" in rb:
-                self.set_max_depth(rb["maxDepth"])
+        self._apply_renderer_block(scene_config)
         cfg = self.trace_config()
         engine = ("pallas" if (jax.default_backend() == "tpu"
                                and self.engine in ("auto", "pallas")
@@ -805,31 +809,20 @@ class Renderer:
                                                height, scene_config)
         img = np.asarray(
             tonemap.to_rgb8(tonemap.tonemap(jnp.asarray(linear))))
-        dt = time.perf_counter() - t0
-
-        bd = self.benchmark_data
-        bd.scene_name = "demo_scene"
-        bd.resolution = f"{width}x{height}"
-        bd.render_time_seconds = dt
-        bd.samples = float(spp.mean())  # actual mean spp, not the cap
-        bd.max_depth = self.max_depth
-        bd.num_workers = self.num_workers
-        bd.objects = scene.sph_count + scene.mesh_count
-        bd.lights = int(scene.lights.position.shape[0])
-        bd.timestamp = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+        # samples records the MEAN spp actually taken, not the cap
+        self._fill_benchmark(scene, width, height,
+                             time.perf_counter() - t0, float(spp.mean()))
         return img, spp
 
     def _denoise_linear(self, scene, linear, width: int, height: int,
                         variance=None):
         """AOV-guided cross-bilateral filter on a linear image."""
         from . import aov as aov_mod
-        # NB: plain `from . import denoise` would bind the package's
-        # re-exported FUNCTION (it shadows the submodule attribute).
-        from .denoise import denoise as denoise_fn
+        from . import denoising
         aovs = aov_mod.render_aovs(scene, width=width, height=height,
                                    go_camera=self.go_camera,
                                    as_numpy=False)
-        return denoise_fn(linear, aovs, variance=variance)
+        return denoising.denoise(linear, aovs, variance=variance)
 
     def _primary_depth(self, scene, width: int, height: int):
         """Per-pixel center-ray hit distance (BIG on miss) for fog/DoF."""

@@ -133,10 +133,22 @@ def test_adaptive_checkpoint_resume_is_exact(tmp_path, monkeypatch):
                                           **kw)
     np.testing.assert_array_equal(img2, ref_img)
 
-    # parameter drift is rejected (would silently change the estimator)
+    # parameter drift is rejected (would silently change the estimator):
+    # tolerances, ANY TraceConfig field, the camera model, and the scene
     bad = dict(kw, rel_tol=0.01)
     with _pytest.raises(ValueError):
         adaptive.render_adaptive(scene, checkpoint_path=ckpt, **bad)
+    bad = dict(kw, cfg=trace_mod.TraceConfig(seed=0, max_depth=8,
+                                             shadow_samples=16))
+    with _pytest.raises(ValueError):
+        adaptive.render_adaptive(scene, checkpoint_path=ckpt, **bad)
+    with _pytest.raises(ValueError):
+        adaptive.render_adaptive(scene, checkpoint_path=ckpt,
+                                 go_camera=False, **kw)
+    other = scene_mod.from_dict(dict(SCENE, lights=[
+        {"position": [0, 9, 0], "color": [1, 1, 1], "intensity": 5.0}]))[0]
+    with _pytest.raises(ValueError):
+        adaptive.render_adaptive(other, checkpoint_path=ckpt, **kw)
 
 
 def test_renderer_adaptive_wrapper():
@@ -156,6 +168,16 @@ def test_renderer_adaptive_wrapper():
                                   denoise=True)
     assert img_dn.dtype == np.uint8 and img_dn.shape == (H, W, 3)
     assert not np.array_equal(img_dn, img)  # the filter did something
+    # the FULL renderer block is honored (render() parity), not just
+    # samples/maxDepth
+    cfg_blk = scene_mod.SceneConfig(renderer={"softShadows": False,
+                                              "recursiveReflections": False,
+                                              "samples": 8})
+    r2 = renderer_mod.Renderer()
+    r2.render_adaptive(scene, W, H, scene_config=cfg_blk, min_spp=4)
+    assert r2.soft_shadows is False
+    assert r2.recursive_reflections is False
+    assert r2.samples == 8
 
 
 def test_adaptive_image_close_to_converged_reference():

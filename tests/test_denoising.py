@@ -1,10 +1,8 @@
-"""Cross-bilateral denoiser (denoise.py): smoothing vs edge preservation."""
+"""Cross-bilateral denoiser (denoising.py): smoothing vs edge preservation."""
 
 import numpy as np
 
-# NB: the package re-exports the denoise FUNCTION as rt.denoise, which
-# shadows the submodule attribute of the same name - import the function.
-from raytrace_tpu.denoise import denoise
+from raytrace_tpu.denoising import denoise
 from raytrace_tpu import aov
 from raytrace_tpu import renderer as renderer_mod
 from raytrace_tpu import scene as scene_mod
