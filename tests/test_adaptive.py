@@ -97,6 +97,20 @@ def test_adaptive_sharded_matches_single_device():
     np.testing.assert_array_equal(spp1, spp8)
 
 
+def test_adaptive_pallas_engine_matches_jnp():
+    """The engine='pallas' batch path (the TPU route) produces the same
+    image as the jnp path - one tiny interpret-mode kernel call keeps
+    the plumbing honest without TPU hardware."""
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=2, shadow_samples=1)
+    kw = dict(width=8, height=6, cfg=cfg, min_spp=2, max_spp=2, batch=2,
+              rel_tol=0.0, abs_tol=0.0, pad_quantum=64)
+    img_j, spp_j = adaptive.render_adaptive(scene, engine="jnp", **kw)
+    img_p, spp_p = adaptive.render_adaptive(scene, engine="pallas", **kw)
+    np.testing.assert_allclose(img_p, img_j, atol=1e-6, rtol=1e-6)
+    np.testing.assert_array_equal(spp_j, spp_p)
+
+
 def test_adaptive_checkpoint_resume_is_exact(tmp_path, monkeypatch):
     """Kill the sampler mid-render, resume from the checkpoint: image,
     spp map and convergence decisions are bit-identical to an
