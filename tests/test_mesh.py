@@ -91,6 +91,28 @@ def test_scene_mesh_object_and_parity_skip(tmp_path):
     assert scene_p.geometry.tri_v0.shape == (0, 3)
 
 
+def test_parse_obj_roundtrip_fuzz():
+    """Random meshes written as OBJ text parse back to identical
+    vertices/faces across all face-token forms."""
+    rs = np.random.default_rng(7)
+    for trial in range(20):
+        nv = int(rs.integers(3, 40))
+        nf = int(rs.integers(1, 60))
+        verts = rs.normal(size=(nv, 3)).round(6)
+        faces = np.stack([rs.choice(nv, size=3, replace=False)
+                          for _ in range(nf)])
+        lines = [f"v {x} {y} {z}" for x, y, z in verts]
+        forms = ["{i}", "{i}/{t}", "{i}//{n}", "{i}/{t}/{n}"]
+        for a, b, c in faces:
+            f = forms[int(rs.integers(4))]
+            tok = lambda i: f.format(i=i + 1, t=int(rs.integers(1, 9)),
+                                     n=int(rs.integers(1, 9)))
+            lines.append(f"f {tok(a)} {tok(b)} {tok(c)}")
+        v, fc = mesh_mod.parse_obj("\n".join(lines))
+        np.testing.assert_allclose(v, verts)
+        np.testing.assert_array_equal(fc, faces)
+
+
 def test_mesh_vertices_are_differentiable(tmp_path):
     """OBJ meshes ride the same triangle SoA as cubes, so vertex
     gradients flow (diff.split_params re-derives face normals from the
