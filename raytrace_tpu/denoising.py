@@ -37,10 +37,17 @@ __all__ = ["denoise"]
 _LUMA = (0.2126, 0.7152, 0.0722)
 
 
-@partial(jax.jit, static_argnames=("radius", "use_variance"))
+# B3-spline taps for the a-trous passes (SVGF's 5x5 separable kernel)
+_B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
+
+
+@partial(jax.jit, static_argnames=("radius", "use_variance", "stride",
+                                   "b3", "return_var"))
 def _cross_bilateral(img, depth, normal, albedo, hit, variance, *,
                      radius: int, use_variance: bool, sigma_spatial,
-                     sigma_depth, sigma_normal, sigma_albedo, sigma_lum):
+                     sigma_depth, sigma_normal, sigma_albedo, sigma_lum,
+                     stride: int = 1, b3: bool = False,
+                     return_var: bool = False):
     h, w, _ = img.shape
     inv2ss = 0.5 / (sigma_spatial * sigma_spatial)
     inv2sd = 0.5 / (sigma_depth * sigma_depth)
@@ -63,14 +70,19 @@ def _cross_bilateral(img, depth, normal, albedo, hit, variance, *,
 
     acc = jnp.zeros_like(img)
     wacc = jnp.zeros(img.shape[:2], img.dtype)
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
+    vacc = jnp.zeros(img.shape[:2], img.dtype)
+    for dy0 in range(-radius, radius + 1):
+        for dx0 in range(-radius, radius + 1):
+            dy, dx = dy0 * stride, dx0 * stride
             # (every term below is elementwise)
             sh = lambda a: jnp.roll(a, (dy, dx), axis=(0, 1))
             # roll wraps around the frame; mask the wrapped rows/cols
             inside = (((ys - dy >= 0) & (ys - dy < h))
                       & ((xs - dx >= 0) & (xs - dx < w)))
-            w_sp = jnp.exp(-(dy * dy + dx * dx) * inv2ss)
+            if b3:
+                w_sp = _B3[dy0 + radius] * _B3[dx0 + radius]
+            else:
+                w_sp = jnp.exp(-(dy0 * dy0 + dx0 * dx0) * inv2ss)
             dz = (sh(depth) - depth) * dscale
             w_z = jnp.exp(-(dz * dz) * inv2sd)
             ndot = jnp.clip((sh(normal) * normal).sum(-1), 0.0, 1.0)
@@ -91,15 +103,23 @@ def _cross_bilateral(img, depth, normal, albedo, hit, variance, *,
             wgt = jnp.where(inside & same, wgt, 0.0)
             acc = acc + sh(img) * wgt[..., None]
             wacc = wacc + wgt
+            if return_var:
+                # variance of the weighted mean: sum(w^2 var)/(sum w)^2
+                vacc = vacc + wgt * wgt * sh(variance)
     out = acc / jnp.maximum(wacc, 1e-8)[..., None]
     # Miss pixels pass through unfiltered: their center-ray features say
     # "empty", but at low spp their radiance is partial silhouette
     # coverage from jittered samples - real signal the flat feature
     # buffers would smear across the background.
-    return jnp.where(hit[..., None], out, img)
+    out = jnp.where(hit[..., None], out, img)
+    if return_var:
+        var_out = vacc / jnp.maximum(wacc * wacc, 1e-16)
+        return out, jnp.where(hit, var_out, variance)
+    return out
 
 
 def denoise(img, aovs: Dict, *, variance=None, radius: int = 3,
+            passes: int = 1,
             sigma_spatial: float = 2.0, sigma_depth: float = 0.05,
             sigma_normal: float = 0.1, sigma_albedo: float = 0.1,
             sigma_lum: float = 4.0, as_numpy: Optional[bool] = None):
@@ -116,6 +136,15 @@ def denoise(img, aovs: Dict, *, variance=None, radius: int = 3,
     stricter); albedo in linear color distance; lum in noise standard
     deviations (bigger = more permissive).
 
+    passes=1 (default) runs one dense (2·radius+1)^2 filter. passes>1
+    runs SVGF-style a-trous wavelet iterations instead: `passes` rounds
+    of the 5x5 B3-spline kernel with stride 2^i, the variance map
+    re-estimated after each round (sum w^2 var / (sum w)^2) so the
+    radiance term tightens as noise is removed. Footprint grows to
+    ~4·2^passes pixels at 25 taps per round — the way to reach
+    low-frequency noise (broad soft-shadow grain) a dense small kernel
+    cannot.
+
     Returns the filtered (H,W,3) image (numpy if the input was numpy,
     or as forced by as_numpy).
     """
@@ -127,15 +156,25 @@ def denoise(img, aovs: Dict, *, variance=None, radius: int = 3,
     use_var = variance is not None
     var = (jnp.asarray(variance, x.dtype) if use_var
            else jnp.zeros(x.shape[:2], x.dtype))
-    out = _cross_bilateral(
-        x, depth, jnp.asarray(aovs["normal"], x.dtype),
-        jnp.asarray(aovs["albedo"], x.dtype), jnp.asarray(aovs["hit"]),
-        var, radius=radius, use_variance=use_var,
-        sigma_spatial=jnp.asarray(sigma_spatial, x.dtype),
-        sigma_depth=jnp.asarray(sigma_depth, x.dtype),
-        sigma_normal=jnp.asarray(sigma_normal, x.dtype),
-        sigma_albedo=jnp.asarray(sigma_albedo, x.dtype),
-        sigma_lum=jnp.asarray(sigma_lum, x.dtype))
+    normal = jnp.asarray(aovs["normal"], x.dtype)
+    albedo = jnp.asarray(aovs["albedo"], x.dtype)
+    hit = jnp.asarray(aovs["hit"])
+    sig = dict(sigma_spatial=jnp.asarray(sigma_spatial, x.dtype),
+               sigma_depth=jnp.asarray(sigma_depth, x.dtype),
+               sigma_normal=jnp.asarray(sigma_normal, x.dtype),
+               sigma_albedo=jnp.asarray(sigma_albedo, x.dtype),
+               sigma_lum=jnp.asarray(sigma_lum, x.dtype))
+    if passes <= 1:
+        out = _cross_bilateral(x, depth, normal, albedo, hit, var,
+                               radius=radius, use_variance=use_var, **sig)
+    else:
+        out = x
+        for i in range(passes):
+            res = _cross_bilateral(
+                out, depth, normal, albedo, hit, var, radius=2,
+                use_variance=use_var, stride=1 << i, b3=True,
+                return_var=use_var, **sig)
+            out, var = res if use_var else (res, var)
     if as_numpy is None:
         as_numpy = was_numpy
     return np.asarray(out) if as_numpy else out

@@ -103,6 +103,37 @@ def test_denoise_variance_term_preserves_converged_detail():
             < 0.7 * np.abs(noisy[R] - clean[R]).mean())
 
 
+def test_denoise_atrous_beats_dense_on_flat_noise():
+    """The a-trous passes reach low-frequency noise the dense small
+    kernel cannot: on a flat noisy field, 3 wavelet rounds leave much
+    less residual than the single radius-3 pass, and the edge-stopping
+    still holds across a feature boundary."""
+    H, W = 48, 64
+    rs = np.random.default_rng(0)
+    clean = np.full((H, W, 3), 0.5, np.float32)
+    noisy = clean + rs.normal(0, 0.1, clean.shape).astype(np.float32)
+    var = np.full((H, W), 0.1 ** 2, np.float32)
+    aovs = {"depth": np.full((H, W), 5.0, np.float32),
+            "normal": np.broadcast_to(
+                np.array([0, 0, 1.0], np.float32), (H, W, 3)).copy(),
+            "albedo": np.full((H, W, 3), 0.5, np.float32),
+            "hit": np.ones((H, W), bool)}
+    inner = (slice(8, -8), slice(8, -8))
+    base = np.abs(noisy - clean)[inner].mean()
+    single = denoise(noisy, aovs, radius=3, variance=var, sigma_lum=8.0)
+    atrous = denoise(noisy, aovs, passes=3, variance=var, sigma_lum=8.0)
+    assert np.abs(atrous - clean)[inner].mean() \
+        < 0.5 * np.abs(single - clean)[inner].mean()
+    assert np.abs(atrous - clean)[inner].mean() < 0.12 * base
+
+    # feature edge survives the wide footprint
+    clean2, noisy2, aovs2, left = _synthetic()
+    out = denoise(noisy2, aovs2, passes=3)
+    bl = out[:, left[0]][:, -1].mean()
+    br = out[:, ~left[0]][:, 0].mean()
+    assert br - bl > 0.45
+
+
 def test_denoise_end_to_end_with_render():
     """Adaptive low-spp render + AOVs + denoise: the filtered image gets
     closer to a high-spp reference on smooth regions."""
