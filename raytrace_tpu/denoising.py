@@ -12,8 +12,11 @@ quality lever is more samples, renderer.go:150-163).
 
 TPU notes: the neighborhood loop is a static (2r+1)^2 unroll of
 jnp.roll shifts — no gathers, every step an elementwise VPU op over the
-whole image, fusing into one XLA computation. Radius 3 (49 taps)
-denoises a 800x600 frame in ~1 ms-class device time.
+whole image, fusing into one XLA computation. Measured on TPU v5e
+(2026-08-19, `tools/tpu_smoke_r2.py`, device-resident timing): radius-3
+dense (49 taps) 32.7 ms on 800x600; 4-pass a-trous 48.5 ms. Both are
+per-IMAGE costs, amortized over however many spp the frame carries —
+at 100 spp they add ~2-3 ms per effective frame-equivalent.
 
 Typical pipeline:
     img, spp = rt.render_adaptive(scene, width=W, height=H, ...)

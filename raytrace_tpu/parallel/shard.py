@@ -106,8 +106,9 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
         driver there is no automatic unsplit fallback here: the split
         choice is a static arg, so the caller owns the retry.
 
-    ``split=None`` uses renderer.pick_split's policy (bounce-2 split for
-    bvh-mode deep traces, else unsplit; RT_NO_SPLIT=1 forces 0).
+    ``split=None`` uses renderer.pick_split's policy (default unsplit -
+    the split measured as a TPU regression, see pick_split; RT_SPLIT=<b>
+    forces a bounce-b split for A/B).
 
     Returns (image (H,W,3) row-sharded, overflow scalar).
     """

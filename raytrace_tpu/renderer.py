@@ -440,22 +440,27 @@ def _auto_surv_cap(n_lanes: int, block_rows: int) -> int:
 def pick_split(scene, cfg) -> int:
     """Mid-trace survivor re-compaction bounce for deep traces.
 
-    bvh-mode (large) scenes: the per-bounce live-lane profile on the
-    ring-N benchmark scenes drops to ~1% after bounce 1, yet bounces
-    2..max_depth cost ~75% of the frame (tools/ablate_ring1000.py) -
-    the packet walk's cost is per BLOCK, and the few survivors are
-    spread across every block, so block early-exit never fires.
-    Splitting the trace at bounce 2 re-packs the survivors into ~1% of
-    the blocks for the remaining 48 bounces. unroll-mode scenes keep
-    split=0: their bounce tails are nearly free already (bounces 2..50
-    measured ~10 ms total on the headline scene) and the re-compaction
-    scatter would be pure overhead. RT_NO_SPLIT=1 disables (A/B knob).
+    Default OFF: measured a clear TPU REGRESSION (tools/measure_split.py,
+    2026-08-19, d50/soft16 800x600/20spp): ring-250 431 vs 224 ms/frame
+    (1.93x slower), ring-1000 689 vs 582 ms (1.18x slower). The offline
+    walk-step simulation that motivated it (survivors re-packed into ~1%
+    of blocks for bounces 2..50) ignored what actually dominates: the
+    split re-runs kernel SETUP (SMEM table loads, mask/feature gathers)
+    twice and the full-wavefront cumsum/scatter compaction is itself
+    ~1 frame-tail of work, while block early-exit already makes
+    near-empty blocks cheap. RT_SPLIT=<b> forces a split at bounce b for
+    future A/B (the code path stays tested); RT_NO_SPLIT=1 still forces
+    it off.
     """
     import os
     if os.environ.get("RT_NO_SPLIT", "") == "1":
         return 0
-    if megakernel._kernel_mode(scene) == "bvh" and cfg.max_depth > 4:
-        return 2
+    forced = os.environ.get("RT_SPLIT", "")
+    if forced:
+        b = int(forced)
+        if b > 0 and megakernel._kernel_mode(scene) == "bvh" \
+                and cfg.max_depth > b:
+            return b
     return 0
 
 

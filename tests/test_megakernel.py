@@ -502,15 +502,18 @@ def _ring_bvh_scene(enclosed=False):
 
 
 def test_split_survivor_compaction_matches_unsplit(monkeypatch):
-    """renderer.pick_split re-compacts bvh-mode survivors at bounce 2
-    (the ring scenes spend ~75% of the frame on <=1% live lanes spread
-    over every block); the split render must match the unsplit one."""
+    """RT_SPLIT=2 re-compacts bvh-mode survivors at bounce 2 (default is
+    OFF since the 2026-08-19 TPU measurement showed the split is a
+    regression; the code path stays correct and A/B-able); the split
+    render must match the unsplit one."""
     s = _ring_bvh_scene()
     cfg = trace_mod.TraceConfig(max_depth=6, shadow_samples=2)
     orig = mk.UNROLL_PRIM_LIMIT
     mk.UNROLL_PRIM_LIMIT = 8
     try:
         assert mk._kernel_mode(s) == "bvh"
+        assert renderer_mod.pick_split(s, cfg) == 0  # default: unsplit
+        monkeypatch.setenv("RT_SPLIT", "2")
         assert renderer_mod.pick_split(s, cfg) == 2
         img_split = renderer_mod.render_wavefront(
             s, width=8, height=6, samples=1, cfg=cfg)
@@ -538,6 +541,7 @@ def test_split_overflow_blacklists_and_falls_back(monkeypatch):
     # pin it to 4 lanes so the enclosed scene's survivors overflow it.
     monkeypatch.setattr(renderer_mod, "_auto_surv_cap",
                         lambda n_lanes, block_rows: 4)
+    monkeypatch.setenv("RT_SPLIT", "2")
     try:
         assert renderer_mod.pick_split(s, cfg) == 2
         before = len(renderer_mod._SPLIT_BLACKLIST)

@@ -241,6 +241,7 @@ def test_sharded_wavefront_bvh_mode_matches_jnp(monkeypatch):
     monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 8)
     assert mk._kernel_mode(scene) == "bvh"
     from raytrace_tpu import renderer as renderer_mod
+    monkeypatch.setenv("RT_SPLIT", "2")
     assert renderer_mod.pick_split(scene, cfg) == 2
     img, ov = parallel.render_wavefront_sharded(
         scene, width=8, height=8, samples=1, cfg=cfg,

@@ -2,9 +2,11 @@
 
 The bvh-mode bounce tail (bounces 2..50) costs ~75% of a ring frame on
 <=1% live lanes spread over every block (tools/ablate_ring1000.py);
-renderer.pick_split re-packs survivors at bounce 2. RT_NO_SPLIT=1 is
-read per-frame by pick_split (outside jit), so one process measures
-both variants. d50/soft16, 800x600/20spp.
+RT_SPLIT=2 re-packs survivors at bounce 2 (the default is OFF since the
+2026-08-19 TPU measurement: split2/unsplit = 1.93x on ring-250, 1.18x on
+ring-1000 - a regression). RT_SPLIT is read per-frame by pick_split
+(outside jit), so one process measures both variants. d50/soft16,
+800x600/20spp.
 
 Usage: python tools/measure_split.py [n_spheres ...]
 """
@@ -53,12 +55,12 @@ def main():
     ns = [int(a) for a in sys.argv[1:]] or [250, 1000]
     for n in ns:
         scene, _ = rt.scene_from_dict(ring_scene_dict(n_spheres=n))
-        os.environ.pop("RT_NO_SPLIT", None)
+        os.environ["RT_SPLIT"] = "2"
         assert renderer_mod.pick_split(scene, cfg) > 0
         t_s, c_s = measure(scene, f"ring-{n} split2 ")
-        os.environ["RT_NO_SPLIT"] = "1"
+        os.environ.pop("RT_SPLIT", None)
+        assert renderer_mod.pick_split(scene, cfg) == 0
         t_u, c_u = measure(scene, f"ring-{n} unsplit")
-        os.environ.pop("RT_NO_SPLIT", None)
         # fp reassociation only (radA + radB): checksums agree closely
         assert abs(c_s - c_u) < 1e-3 * max(abs(c_u), 1.0), (c_s, c_u)
         print(f"ring-{n}: split/unsplit = {t_s / t_u:.3f}x "

@@ -47,19 +47,25 @@ def find_scene() -> str:
 
 
 def timed(label, fn, reps=3):
+    """Device time: sync via ONE scalar checksum per call, never the full
+    arrays - an 800x600 framebuffer pull through the tunnel costs
+    150-350 ms and once polluted exactly this class of measurement
+    (BENCHMARKS.md measurement postmortem)."""
+    def checksum(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        return float(sum(jnp.sum(a.astype(jnp.float32)) for a in leaves))
     t0 = time.perf_counter()
     out = fn()
-    out = jax.tree_util.tree_map(np.asarray, out)
+    checksum(out)
     first = time.perf_counter() - t0
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
-        out = jax.tree_util.tree_map(np.asarray, out)
+        checksum(fn())
         best = min(best, time.perf_counter() - t0)
     print(f"{label}: best {best * 1e3:8.1f} ms (first {first:6.1f} s)",
           flush=True)
-    return out, best
+    return jax.tree_util.tree_map(np.asarray, out), best
 
 
 def main():
