@@ -15,6 +15,17 @@ Quick start:
 
 import os as _os
 
+# Honor RT_PLATFORM BEFORE any submodule import: module-level jnp
+# constants (e.g. intersect.BIG) initialize the default backend during
+# the package import, so `python -m raytrace_tpu.cli`'s own RT_PLATFORM
+# handling (which runs after this __init__) is too late - the axon TPU
+# plugin would already be live. Plain JAX_PLATFORMS is force-overridden
+# by sitecustomize; this config update is not.
+if _os.environ.get("RT_PLATFORM"):
+    import jax as _jax_rt
+
+    _jax_rt.config.update("jax_platforms", _os.environ["RT_PLATFORM"])
+
 # Persistent compilation cache: megakernel compiles cost minutes on TPU
 # (one-time per scene shape); the cache makes fresh-process cold starts
 # ~6s instead of ~190s. Repo-local by default; RT_CACHE_DIR overrides,

@@ -575,6 +575,23 @@ def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
     def cond(c):
         return jnp.any(c[0] < n_nodes)
 
+    def _tri_blocked(v0, e1, e2):
+        # Division-free any-hit, mirroring intersect.triangle_blocked's
+        # expression order exactly (shadow verdicts must agree with the
+        # brute-force path bit-for-bit away from rounding boundaries).
+        s = origin - v0
+        n2 = jnp.cross(e1, e2)
+        c1 = jnp.cross(e2, s)
+        q = jnp.cross(s, e1)
+        det = -jnp.sum(direction * n2, axis=-1)
+        sg = jnp.where(det >= 0.0, 1.0, -1.0)
+        ad = det * sg
+        au = jnp.sum(direction * c1, axis=-1) * sg
+        av = jnp.sum(direction * q, axis=-1) * sg
+        at = jnp.sum(e2 * q, axis=-1) * sg
+        return ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0)
+                & (au + av <= ad) & (at >= t_min * ad) & (at <= tm * ad))
+
     def body(c):
         cursor, blocked = c
         cur = jnp.minimum(cursor, n_nodes - 1)
@@ -600,18 +617,19 @@ def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
                 v0 = jnp.take(geom.tri_v0, tidx, axis=0)
                 e1 = jnp.take(tri_e1, tidx, axis=0)
                 e2 = jnp.take(tri_e2, tidx, axis=0)
-                t_t = tri_hit_t(origin, direction, v0, e1, e2, t_min, tm)
-                t = jnp.where(is_s, t_s, t_t)
+                hit = jnp.where(is_s, t_s < _BIG,
+                                _tri_blocked(v0, e1, e2))
             elif ns:
                 cen = jnp.take(geom.sph_center, pid, axis=0)
                 rad = jnp.take(geom.sph_radius, pid, axis=0)
-                t = sphere_hit_t(origin, direction, cen, rad, t_min, tm)
+                hit = sphere_hit_t(origin, direction, cen, rad, t_min,
+                                   tm) < _BIG
             else:
                 v0 = jnp.take(geom.tri_v0, pid, axis=0)
                 e1 = jnp.take(tri_e1, pid, axis=0)
                 e2 = jnp.take(tri_e2, pid, axis=0)
-                t = tri_hit_t(origin, direction, v0, e1, e2, t_min, tm)
-            hit_any |= hit_box & is_leaf & (j < count) & (t < _BIG)
+                hit = _tri_blocked(v0, e1, e2)
+            hit_any |= hit_box & is_leaf & (j < count) & hit
         blocked = blocked | hit_any
         descend = hit_box & ~is_leaf
         nxt = jnp.where(blocked, n_nodes, jnp.where(descend, cur + 1, skip))

@@ -93,6 +93,42 @@ def triangle_t(origin, direction, v0, edge1, edge2, t_min, t_max):
     return jnp.where(valid, t, BIG)
 
 
+def triangle_blocked(origin, direction, v0, edge1, edge2, t_min, t_max):
+    """Division-free Moller-Trumbore ANY-HIT: does the ray hit the
+    triangle with t in [t_min, t_max]? Returns bool (B,Nt).
+
+    Same acceptance set as triangle_t < BIG, reformulated for shadow
+    rays (the 16-sample soft loop is the hot path of hit-heavy scenes):
+    the triple-product identities det = e1.(d x e2) = -d.(e1 x e2) and
+    s.(d x e2) = d.(e2 x s) move every cross product off the
+    per-direction path - all three numerators become dot products
+    against per-(lane,triangle) constants - and the division disappears
+    by comparing sign-corrected numerators against |det| (u >= 0 etc.
+    are sign-exact; the in-range tests multiply through by |det|). The
+    u <= 1 check is dropped: v >= 0 and u + v <= 1 imply it. Verdicts
+    match the classic form except at float-rounding boundaries (1-2 ulp
+    of an edge/t-limit - measure-zero geometry; same class as the
+    documented engine-divergence gates). The Pallas megakernel mirrors
+    this exact expression order (megakernel _tri_any/_tri_all/
+    any_hit_pre) so engines agree.
+    """
+    d = direction[..., None, :]                      # (B,1,3)
+    s = origin[..., None, :] - v0                    # (B,Nt,3)
+    n2 = jnp.cross(edge1, edge2)                     # (Nt,3)
+    c1 = jnp.cross(edge2, s)                         # (B,Nt,3)
+    q = jnp.cross(s, edge1)                          # (B,Nt,3)
+    det = -jnp.sum(d * n2, axis=-1)                  # (B,Nt)
+    sg = jnp.where(det >= 0.0, 1.0, -1.0)
+    ad = det * sg
+    au = jnp.sum(d * c1, axis=-1) * sg
+    av = jnp.sum(d * q, axis=-1) * sg
+    at = jnp.sum(edge2 * q, axis=-1) * sg
+    t_max = jnp.asarray(t_max)
+    tm = t_max[..., None] if t_max.ndim else t_max
+    return ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0) & (au + av <= ad)
+            & (at >= t_min * ad) & (at <= tm * ad))
+
+
 def plane_t(origin, direction, point, normal, t_min, t_max):
     """Infinite-plane hit distances for all (lane, plane) pairs.
 
@@ -280,6 +316,39 @@ def _closest_hit_chunked(geom, origin, direction, t_min, t_max,
     return _hit_from_tidx(geom, origin, direction, t, idx)
 
 
+def _interp_tri_normal(geom, tri_idx, origin, direction, n_face):
+    """Barycentric vertex-normal interpolation for the winner triangle.
+
+    Parity with triangle.go:84-88 (calculateInterpolatedNormal:
+    w*n0 + u*n1 + v*n2, normalized, w = 1-u-v). u, v are re-derived for
+    the winner by the SAME Moller-Trumbore expressions the hit test used
+    (h = d x e2, f = 1/(e1.h), u = f*(s.h), v = f*(d.q)) so the
+    interpolation weights match the accepted intersection - and so the
+    Pallas megakernel (which reuses its in-loop u, v directly,
+    megakernel._tri_closest_row) computes the identical arithmetic.
+    Degenerate determinants fall back to the face normal (such
+    triangles never win a hit anyway; this only keeps the math finite).
+    """
+    v0 = jnp.take(geom.tri_v0, tri_idx, axis=0)
+    e1 = jnp.take(geom.tri_v1, tri_idx, axis=0) - v0
+    e2 = jnp.take(geom.tri_v2, tri_idx, axis=0) - v0
+    h = jnp.cross(direction, e2)
+    det = _dot(e1, h)
+    good = jnp.abs(det) >= 1e-6
+    f = 1.0 / jnp.where(good, det, 1.0)
+    s = origin - v0
+    u = f * _dot(s, h)
+    q = jnp.cross(s, e1)
+    v = f * _dot(direction, q)
+    vn = jnp.take(geom.tri_vn, tri_idx, axis=0)  # (B, 9)
+    w = 1.0 - u - v
+    n = (w[..., None] * vn[..., 0:3] + u[..., None] * vn[..., 3:6]
+         + v[..., None] * vn[..., 6:9])
+    ln = jnp.sqrt(_dot(n, n))
+    n = n / jnp.where(ln > 0.0, ln, 1.0)[..., None]
+    return jnp.where(good[..., None], n, n_face)
+
+
 def _hit_from_tidx(geom, origin, direction, t, idx) -> Hit:
     """Assemble the full Hit record from (t, winner index).
 
@@ -312,6 +381,9 @@ def _hit_from_tidx(geom, origin, direction, t, idx) -> Hit:
     if nt:
         n_tri = jnp.take(geom.tri_normal, tri_idx, axis=0)
         m_tri = jnp.take(geom.tri_mat, tri_idx, axis=0)
+        if getattr(geom, "tri_vn", None) is not None:
+            n_tri = _interp_tri_normal(geom, tri_idx, origin, direction,
+                                       n_tri)
     else:
         n_tri = jnp.zeros(B + (3,), origin.dtype)
         m_tri = jnp.zeros(B, jnp.int32)
@@ -408,15 +480,24 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
         edge2 = geom.tri_v2 - geom.tri_v0
         if chunked and nt > PRIM_CHUNK:
             v0, e1, e2 = _pad_prims(nt, geom.tri_v0, edge1, edge2)
-            blocked = _scan_any(
-                lambda s: _mask_cols(
-                    triangle_t(origin, direction, _slab(v0, s),
-                               _slab(e1, s), _slab(e2, s), t_min, tm),
-                    s, nt), nt, blocked)
+
+            def _scan_tri_blocked(blocked):
+                def body(b, k):
+                    st = k * PRIM_CHUNK
+                    hit = triangle_blocked(origin, direction,
+                                           _slab(v0, st), _slab(e1, st),
+                                           _slab(e2, st), t_min, t_max)
+                    col = st + jnp.arange(PRIM_CHUNK)
+                    return b | jnp.any(hit & (col < nt), axis=-1), None
+                b, _ = jax.lax.scan(body, blocked,
+                                    jnp.arange(-(-nt // PRIM_CHUNK)))
+                return b
+
+            blocked = _scan_tri_blocked(blocked)
         else:
-            t = triangle_t(origin, direction, geom.tri_v0, edge1, edge2,
-                           t_min, tm)
-            blocked |= jnp.any(t < BIG, axis=-1)
+            hit = triangle_blocked(origin, direction, geom.tri_v0,
+                                   edge1, edge2, t_min, t_max)
+            blocked |= jnp.any(hit, axis=-1)
     if npl:
         t = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
                     t_min, tm)

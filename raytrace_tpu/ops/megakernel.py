@@ -52,6 +52,7 @@ LANE = 128
 # runtime win, so it is disabled by default - set it below
 # MAX_KERNEL_PRIMS to experiment.
 UNROLL_PRIM_LIMIT = 96
+UNROLL_PRIM_LIMIT_VN = 48  # see _kernel_mode: vn scenes spill VMEM sooner
 # Above this the kernel's unrolled code size stops being sensible;
 # bigger scenes use the in-kernel BVH walk (requires scene.accel), up to
 # the SMEM capacity cap below.
@@ -84,11 +85,21 @@ def scene_fits_kernel(scene) -> bool:
 
 
 def _kernel_mode(scene) -> str:
-    """'unroll' | 'loop' | 'bvh' for a given scene shape."""
+    """'unroll' | 'loop' | 'bvh' for a given scene shape.
+
+    Smooth-shaded scenes (vertex-normal table present) unroll only to
+    UNROLL_PRIM_LIMIT_VN: the interpolation keeps ~9 extra live values
+    per unrolled triangle and an 80-triangle vn scene measured a scoped
+    VMEM stack of 20.2 MB against the 16 MB limit (compile-time OOM).
+    scene.from_dict auto-attaches a BVH to such scenes so they land in
+    bvh mode, not the slow loop fallback."""
     n = (scene.geometry.sph_center.shape[0]
          + scene.geometry.tri_v0.shape[0]
          + scene.geometry.pl_point.shape[0])
-    if n <= UNROLL_PRIM_LIMIT:
+    limit = UNROLL_PRIM_LIMIT
+    if getattr(scene.geometry, "tri_vn", None) is not None:
+        limit = min(limit, UNROLL_PRIM_LIMIT_VN)
+    if n <= limit:
         return "unroll"
     if getattr(scene, "accel", None) is not None:
         return "bvh"
@@ -267,6 +278,23 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
     seed = cfg.seed
     t_min = np.float32(1e-3)
 
+    def _tri_smooth_normal(tri, j, u, v, fnx, fny, fnz):
+        """Barycentric vertex-normal interpolation (triangle.go:84-88:
+        w*n0 + u*n1 + v*n2, normalized, w = 1-u-v) from table rows
+        13-21, reusing the Moller-Trumbore u, v the hit test already
+        computed. Flat scenes have no vn rows (tri table stays (13,Nt))
+        and pass the face normal through untouched - a compile-time
+        branch, so they pay nothing."""
+        if tri.shape[0] < 22:
+            return fnx, fny, fnz
+        w = 1.0 - u - v
+        inx = w * tri[13, j] + u * tri[16, j] + v * tri[19, j]
+        iny = w * tri[14, j] + u * tri[17, j] + v * tri[20, j]
+        inz = w * tri[15, j] + u * tri[18, j] + v * tri[21, j]
+        ln = jnp.sqrt(inx * inx + iny * iny + inz * inz)
+        inv_l = 1.0 / jnp.where(ln > 0.0, ln, 1.0)
+        return inx * inv_l, iny * inv_l, inz * inv_l
+
     def closest_hit(sph, tri, pln, ox, oy, oz, dx, dy, dz):
         """Returns (t, outward nx,ny,nz, mat_id_f). t==BIG on miss."""
         shape = ox.shape
@@ -324,10 +352,12 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             valid = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                      & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_best))
             win = valid & (tj < t_best)
+            snx, sny, snz = _tri_smooth_normal(tri, j, u, v,
+                                               fnx, fny, fnz)
             t_best = jnp.where(win, tj, t_best)
-            nx = jnp.where(win, fnx, nx)
-            ny = jnp.where(win, fny, ny)
-            nz = jnp.where(win, fnz, nz)
+            nx = jnp.where(win, snx, nx)
+            ny = jnp.where(win, sny, ny)
+            nz = jnp.where(win, snz, nz)
             mat = jnp.where(win, m, mat)
         for j in range(npl):
             ppx, ppy, ppz = pln[0, j], pln[1, j], pln[2, j]
@@ -349,11 +379,15 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
     def occl_precompute(sph, tri, pln, ox, oy, oz):
         """Origin-only terms shared by ALL shadow rays from one hit point.
 
-        Every bounce fires 1 + shadow_samples rays per light from the SAME
-        origin; the sphere oc / c terms and the Moller-Trumbore s, q = s x e1
-        and e2.q terms depend only on the origin, so hoisting them removes
-        ~40% of the per-ray occlusion arithmetic.
-        """
+        Every bounce fires 1 + shadow_samples rays per light from the
+        SAME origin. The sphere oc / c terms depend only on the origin;
+        for triangles the triple-product identities det = e1.(d x e2) =
+        -d.n2 (n2 = e1 x e2, per-triangle SCALARS) and s.(d x e2) =
+        d.c1 (c1 = e2 x s) turn ALL per-direction numerators into dot
+        products against hoisted constants - the per-sample test keeps
+        no cross product and (see any_hit_pre) no division. Mirrors
+        intersect.triangle_blocked. Also returns the hit point (the
+        soft guard's bounding-sphere centroids need it)."""
         sph_pre = []
         for j in range(ns):
             cx, cy, cz, r = sph[0, j], sph[1, j], sph[2, j], sph[3, j]
@@ -366,22 +400,34 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
             e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
             sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            c1x = e2y * sz - e2z * sy
+            c1y = e2z * sx - e2x * sz
+            c1z = e2x * sy - e2y * sx
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
             qz = sx * e1y - sy * e1x
             e2q = e2x * qx + e2y * qy + e2z * qz
-            tri_pre.append((sx, sy, sz, qx, qy, qz, e2q))
+            n2x = e1y * e2z - e1z * e2y   # scalar face normal (unnorm.)
+            n2y = e1z * e2x - e1x * e2z
+            n2z = e1x * e2y - e1y * e2x
+            tri_pre.append((c1x, c1y, c1z, qx, qy, qz, e2q,
+                            n2x, n2y, n2z))
         pl_pre = []
         for j in range(npl):
             num = ((pln[0, j] - ox) * pln[3, j]
                    + (pln[1, j] - oy) * pln[4, j]
                    + (pln[2, j] - oz) * pln[5, j])
             pl_pre.append(num)
-        return sph_pre, tri_pre, pl_pre
+        return sph_pre, tri_pre, pl_pre, (ox, oy, oz)
 
     def any_hit_pre(sph_pre, tri_pre, pl_pre, pln, tri, dx, dy, dz,
                     t_max):
-        """Occlusion in (t_min, t_max) from precomputed origin terms."""
+        """Occlusion in (t_min, t_max) from precomputed origin terms.
+
+        Triangles: division-free sign-corrected form (u >= 0 etc. are
+        sign-exact; range tests multiply through by |det|; u <= 1 is
+        implied by v >= 0 & u+v <= 1) - see intersect.triangle_blocked
+        for the derivation and the rounding-boundary caveat."""
         blocked = jnp.zeros(dx.shape, bool)
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
@@ -394,20 +440,17 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             r1 = (-half_b + sq) * inv_a
             blocked |= ok & (((r0 >= t_min) & (r0 <= t_max))
                              | ((r1 >= t_min) & (r1 <= t_max)))
-        for j, (sx, sy, sz, qx, qy, qz, e2q) in enumerate(tri_pre):
-            e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
-            e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            good = jnp.abs(det) >= 1e-6
-            f = 1.0 / jnp.where(good, det, 1.0)
-            u = f * (sx * hx + sy * hy + sz * hz)
-            v = f * (dx * qx + dy * qy + dz * qz)
-            tj = f * e2q
-            blocked |= (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                        & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
+        for (c1x, c1y, c1z, qx, qy, qz, e2q,
+             n2x, n2y, n2z) in tri_pre:
+            det = -(dx * n2x + dy * n2y + dz * n2z)
+            sg = jnp.where(det >= 0.0, 1.0, -1.0)
+            ad = det * sg
+            au = (dx * c1x + dy * c1y + dz * c1z) * sg
+            av = (dx * qx + dy * qy + dz * qz) * sg
+            at = e2q * sg
+            blocked |= ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0)
+                        & (au + av <= ad) & (at >= t_min * ad)
+                        & (at <= t_max * ad))
         for j, num in enumerate(pl_pre):
             denom = (dx * pln[3, j] + dy * pln[4, j] + dz * pln[5, j])
             para = denom == 0.0
@@ -470,10 +513,13 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             tj = f * (e2x * qx + e2y * qy + e2z * qz)
             win = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                    & (u + v <= 1.0) & (tj >= t_min) & (tj < t_best))
+            snx, sny, snz = _tri_smooth_normal(tri, j, u, v,
+                                               tri[9, j], tri[10, j],
+                                               tri[11, j])
             return (jnp.where(win, tj, t_best),
-                    jnp.where(win, tri[9, j], nx),
-                    jnp.where(win, tri[10, j], ny),
-                    jnp.where(win, tri[11, j], nz),
+                    jnp.where(win, snx, nx),
+                    jnp.where(win, sny, ny),
+                    jnp.where(win, snz, nz),
                     jnp.where(win, tri[12, j], mat))
 
         def pln_body(j, carry):
@@ -518,23 +564,29 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
 
         def tri_body(j, blocked_f):
+            # Division-free any-hit (see intersect.triangle_blocked /
+            # any_hit_pre) with the same expression order.
             e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
             e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            good = jnp.abs(det) >= 1e-6
-            f = 1.0 / jnp.where(good, det, 1.0)
             sx, sy, sz = ox - tri[0, j], oy - tri[1, j], oz - tri[2, j]
-            u = f * (sx * hx + sy * hy + sz * hz)
+            n2x = e1y * e2z - e1z * e2y
+            n2y = e1z * e2x - e1x * e2z
+            n2z = e1x * e2y - e1y * e2x
+            c1x = e2y * sz - e2z * sy
+            c1y = e2z * sx - e2x * sz
+            c1z = e2x * sy - e2y * sx
             qx = sy * e1z - sz * e1y
             qy = sz * e1x - sx * e1z
             qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            tj = f * (e2x * qx + e2y * qy + e2z * qz)
-            hit = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                   & (u + v <= 1.0) & (tj >= t_min) & (tj <= t_max))
+            det = -(dx * n2x + dy * n2y + dz * n2z)
+            sg = jnp.where(det >= 0.0, 1.0, -1.0)
+            ad = det * sg
+            au = (dx * c1x + dy * c1y + dz * c1z) * sg
+            av = (dx * qx + dy * qy + dz * qz) * sg
+            at = (e2x * qx + e2y * qy + e2z * qz) * sg
+            hit = ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0)
+                   & (au + av <= ad) & (at >= t_min * ad)
+                   & (at <= t_max * ad))
             return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
 
         def pln_body(j, blocked_f):
@@ -624,10 +676,14 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 tj = f * (e2x * qx + e2y * qy + e2z * qz)
                 win = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                        & (u + v <= 1.0) & (tj >= t_min) & (tj < t_best))
+                snx, sny, snz = _tri_smooth_normal(tri, tj_i, u, v,
+                                                   tri[9, tj_i],
+                                                   tri[10, tj_i],
+                                                   tri[11, tj_i])
                 return (jnp.where(win, tj, t_best),
-                        jnp.where(win, tri[9, tj_i], nx),
-                        jnp.where(win, tri[10, tj_i], ny),
-                        jnp.where(win, tri[11, tj_i], nz),
+                        jnp.where(win, snx, nx),
+                        jnp.where(win, sny, ny),
+                        jnp.where(win, snz, nz),
                         jnp.where(win, tri[12, tj_i], mat))
 
             def _pln_closest_row(j, cy, ox, oy, oz, dx, dy, dz):
@@ -838,28 +894,33 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
                 def _tri_any(tj_i, bf):
+                    # Division-free any-hit (intersect.triangle_blocked
+                    # expression order).
                     e1x, e1y, e1z = (tri[3, tj_i], tri[4, tj_i],
                                      tri[5, tj_i])
                     e2x, e2y, e2z = (tri[6, tj_i], tri[7, tj_i],
                                      tri[8, tj_i])
-                    hx = ddy * e2z - ddz * e2y
-                    hy = ddz * e2x - ddx * e2z
-                    hz = ddx * e2y - ddy * e2x
-                    det = e1x * hx + e1y * hy + e1z * hz
-                    good = jnp.abs(det) >= 1e-6
-                    f = 1.0 / jnp.where(good, det, 1.0)
                     sx = px_ - tri[0, tj_i]
                     sy = py_ - tri[1, tj_i]
                     sz = pz_ - tri[2, tj_i]
-                    u = f * (sx * hx + sy * hy + sz * hz)
+                    n2x = e1y * e2z - e1z * e2y
+                    n2y = e1z * e2x - e1x * e2z
+                    n2z = e1x * e2y - e1y * e2x
+                    c1x = e2y * sz - e2z * sy
+                    c1y = e2z * sx - e2x * sz
+                    c1z = e2x * sy - e2y * sx
                     qx = sy * e1z - sz * e1y
                     qy = sz * e1x - sx * e1z
                     qz = sx * e1y - sy * e1x
-                    v = f * (ddx * qx + ddy * qy + ddz * qz)
-                    tj = f * (e2x * qx + e2y * qy + e2z * qz)
-                    hit = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                           & (u + v <= 1.0) & (tj >= t_min)
-                           & (tj <= tmax))
+                    det = -(ddx * n2x + ddy * n2y + ddz * n2z)
+                    sg = jnp.where(det >= 0.0, 1.0, -1.0)
+                    ad = det * sg
+                    au = (ddx * c1x + ddy * c1y + ddz * c1z) * sg
+                    av = (ddx * qx + ddy * qy + ddz * qz) * sg
+                    at = (e2x * qx + e2y * qy + e2z * qz) * sg
+                    hit = ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0)
+                           & (au + av <= ad) & (at >= t_min * ad)
+                           & (at <= tmax * ad))
                     return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
                 ivx, ivy, ivz = iv(ddx), iv(ddy), iv(ddz)
@@ -1057,6 +1118,11 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     return b3
 
                 def _tri_all(tj_i, b3):
+                    # Division-free any-hit with ALL per-direction cross
+                    # products hoisted: c1/q/e2q/n2 are shared by the 16
+                    # samples, each sample pays three dot products and
+                    # the range compares (intersect.triangle_blocked
+                    # expression order).
                     e1x, e1y, e1z = (tri[3, tj_i], tri[4, tj_i],
                                      tri[5, tj_i])
                     e2x, e2y, e2z = (tri[6, tj_i], tri[7, tj_i],
@@ -1064,23 +1130,26 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     sx = px_ - tri[0, tj_i]
                     sy = py_ - tri[1, tj_i]
                     sz = pz_ - tri[2, tj_i]
+                    n2x = e1y * e2z - e1z * e2y
+                    n2y = e1z * e2x - e1x * e2z
+                    n2z = e1x * e2y - e1y * e2x
+                    c1x = e2y * sz - e2z * sy
+                    c1y = e2z * sx - e2x * sz
+                    c1z = e2x * sy - e2y * sx
                     qx = sy * e1z - sz * e1y
                     qy = sz * e1x - sx * e1z
                     qz = sx * e1y - sy * e1x
                     e2q = e2x * qx + e2y * qy + e2z * qz
                     for s, (sdx, sdy, sdz, _, _) in enumerate(sd):
-                        hx = sdy * e2z - sdz * e2y
-                        hy = sdz * e2x - sdx * e2z
-                        hz = sdx * e2y - sdy * e2x
-                        det = e1x * hx + e1y * hy + e1z * hz
-                        good = jnp.abs(det) >= 1e-6
-                        f = 1.0 / jnp.where(good, det, 1.0)
-                        u = f * (sx * hx + sy * hy + sz * hz)
-                        v = f * (sdx * qx + sdy * qy + sdz * qz)
-                        tj = f * e2q
-                        hit = (good & (u >= 0.0) & (u <= 1.0)
-                               & (v >= 0.0) & (u + v <= 1.0)
-                               & (tj >= t_min) & (tj <= dist))
+                        det = -(sdx * n2x + sdy * n2y + sdz * n2z)
+                        sg = jnp.where(det >= 0.0, 1.0, -1.0)
+                        ad = det * sg
+                        au = (sdx * c1x + sdy * c1y + sdz * c1z) * sg
+                        av = (sdx * qx + sdy * qy + sdz * qz) * sg
+                        at = e2q * sg
+                        hit = ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0)
+                               & (au + av <= ad) & (at >= t_min * ad)
+                               & (at <= dist * ad))
                         b3 = b3 | jnp.where(hit, jnp.int32(1 << s),
                                             jnp.int32(0))
                     return b3
@@ -1242,7 +1311,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 win is every block fully in the open. Triangles are
                 covered by bounding spheres, planes by point-to-plane
                 distance <= dist."""
-                sph_pre, tri_pre, pl_pre = pre
+                sph_pre, tri_pre, pl_pre, (hpx, hpy, hpz) = pre
                 eps_t = np.float32(1e-4)
                 eps_cc = np.float32(1e-4)
                 cone = np.float32(0.102)
@@ -1268,10 +1337,15 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 for j, (ocx, ocy, ocz, cc) in enumerate(sph_pre):
                     can = jnp.maximum(
                         can, sphere_guard(ocx, ocy, ocz, cc, sph[3, j]))
-                for j, (sx, sy, sz, _, _, _, _) in enumerate(tri_pre):
+                for j in range(len(tri_pre)):
                     # triangle bounding sphere: scalar centroid m =
                     # v0 + (e1+e2)/3 and max-vertex radius; the per-lane
-                    # oc shifts the precomputed s = p - v0 by (m - v0).
+                    # oc shifts s = p - v0 by (m - v0). (s is no longer
+                    # in tri_pre - recomputed here from the hit point,
+                    # once per light per bounce.)
+                    sx = hpx - tri[0, j]
+                    sy = hpy - tri[1, j]
+                    sz = hpz - tri[2, j]
                     e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
                     e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
                     mx = (e1x + e2x) * np.float32(1.0 / 3.0)
@@ -2405,10 +2479,18 @@ def pack_tables(scene):
         g.sph_mat[:, None].astype(f32)], axis=1).T  # (5,Ns)
     e1 = g.tri_v1 - g.tri_v0
     e2 = g.tri_v2 - g.tri_v0
-    tri = jnp.concatenate([
+    tri_cols = [
         g.tri_v0.astype(f32), e1.astype(f32), e2.astype(f32),
         g.tri_normal.astype(f32),
-        g.tri_mat[:, None].astype(f32)], axis=1).T  # (13,Nt)
+        g.tri_mat[:, None].astype(f32)]
+    if getattr(g, "tri_vn", None) is not None:
+        # Smooth-shading vertex normals: rows 13-21 = n0.xyz n1.xyz
+        # n2.xyz (scene.Geometry.tri_vn). Appended ONLY for scenes that
+        # carry them, so flat scenes keep the (13,Nt) table shape and
+        # their compilation-cache entries; the kernels detect the mode
+        # by tri.shape[0] >= 22.
+        tri_cols.append(g.tri_vn.astype(f32))
+    tri = jnp.concatenate(tri_cols, axis=1).T  # (13,Nt) or (22,Nt)
     pln = jnp.concatenate([
         g.pl_point.astype(f32), g.pl_normal.astype(f32),
         g.pl_mat[:, None].astype(f32)], axis=1).T  # (7,Np)

@@ -64,6 +64,18 @@ class Geometry:
         default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
     pl_mat: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((0,), jnp.int32))
+    # Optional per-vertex normals, (Nt, 9) = [n0.xyz, n1.xyz, n2.xyz]:
+    # barycentric-interpolated at hit time for smooth shading
+    # (triangle.go:84-88 calculateInterpolatedNormal / the
+    # NewTriangleWithNormals constructor). None (the default, and the
+    # state for every scene without an OBJ mesh carrying ``vn``) keeps
+    # flat face-normal shading bit-identical to before AND keeps the
+    # triangle SMEM table at its historical 13 rows - None vs array is
+    # part of the pytree structure, so each state jit-specializes.
+    # Flat triangles inside a smooth scene carry their face normal in
+    # all three slots (interpolation then reproduces it up to one
+    # normalize rounding).
+    tri_vn: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -210,6 +222,7 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     mat_rows = []
     sph_c, sph_r, sph_m = [], [], []
     tri_v0, tri_v1, tri_v2, tri_n, tri_m = [], [], [], [], []
+    tri_vn: List = []  # per-triangle (n0, n1, n2) or None (flat)
     pl_p, pl_n, pl_m = [], [], []
     sph_count = 0
     mesh_count = 0
@@ -233,13 +246,18 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
         return idx
 
     def add_tris(tris, mid):
-        for v0, v1, v2 in tris:
+        # Items are (v0, v1, v2) for flat triangles or
+        # (v0, v1, v2, (n0, n1, n2)) for smooth-shaded ones
+        # (NewTriangleWithNormals, triangle.go:22-34).
+        for item in tris:
+            v0, v1, v2 = item[0], item[1], item[2]
             tri_v0.append(v0)
             tri_v1.append(v1)
             tri_v2.append(v2)
             tri_n.append(_face_normal(np.asarray(v0, np.float64),
                                       np.asarray(v1, np.float64),
                                       np.asarray(v2, np.float64)))
+            tri_vn.append(item[3] if len(item) > 3 else None)
             tri_m.append(mid)
 
     for obj in data.get("objects", []):
@@ -291,6 +309,19 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
         return jnp.asarray(np.array(x, np.float64).reshape(shape), dt)
 
     ns, nt, nl, npl = len(sph_c), len(tri_v0), len(l_pos), len(pl_p)
+    vn_arr = None
+    if any(v is not None for v in tri_vn):
+        # At least one smooth triangle: build the (Nt, 9) table, flat
+        # triangles replicating their unit face normal in all 3 slots.
+        vn_rows = []
+        for k, v in enumerate(tri_vn):
+            if v is None:
+                vn_rows.append(np.tile(np.asarray(tri_n[k], np.float64), 3))
+            else:
+                vn_rows.append(np.concatenate(
+                    [np.asarray(v[j], np.float64) for j in range(3)]))
+        vn_arr = jnp.asarray(
+            np.array(vn_rows, np.float64).reshape(nt, 9), dtype)
     geometry = Geometry(
         sph_center=arr(sph_c, (ns, 3)),
         sph_radius=arr(sph_r, (ns,)),
@@ -303,6 +334,7 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
         pl_point=arr(pl_p, (npl, 3)),
         pl_normal=arr(pl_n, (npl, 3)),
         pl_mat=jnp.asarray(np.array(pl_m, np.int32).reshape(npl), jnp.int32),
+        tri_vn=vn_arr,
     )
     lights = Lights(
         position=arr(l_pos, (nl, 3)),
@@ -315,6 +347,13 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     if build_accel is None:
         from . import bvh as bvh_mod
         build_accel = (ns + nt) >= bvh_mod.BVH_THRESHOLD
+        if vn_arr is not None:
+            # Smooth scenes leave unroll mode earlier (VMEM spill, see
+            # megakernel._kernel_mode); give them the BVH so they land
+            # in the packet-walk kernel instead of the loop fallback.
+            from .ops import megakernel as mk_mod
+            build_accel = build_accel or (
+                ns + nt + npl > mk_mod.UNROLL_PRIM_LIMIT_VN)
     if build_accel:
         scene = with_accel(scene)
 
