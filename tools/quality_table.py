@@ -1,0 +1,134 @@
+"""Quality-vs-cost table: adaptive sampling + denoise vs fixed spp.
+
+Answers the flagship question quantitatively: at what sample count and
+wall clock does each pipeline reach display-transparent quality? PSNR
+is computed in the tonemapped display domain (ops/tonemap.tonemap, the
+CLI's output transform) against a 1024-effective-spp ground truth
+(8 x 128-spp renders at disjoint seeds; one 1024-spp wavefront OOMs
+HBM on a 45%-hit scene). The 8-bit display quantizer step is 1/255 ->
+uniform-quantization MSE (1/255)^2/12 -> ~59 dB; conventionally
+anything >= ~50 dB is visually lossless, so rows are judged against
+that bar, not against each other's fourth decimal.
+
+Scene: two_red_cubes (hit-heavy, soft-shadow-noisy - the workload where
+sample count matters; the headline sphere scene is 98% background and
+converges at min_spp everywhere).
+
+Usage: python tools/quality_table.py [scene.json]
+"""
+import os
+import sys
+
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+import raytrace_tpu as rt
+from raytrace_tpu import adaptive as adaptive_mod
+from raytrace_tpu import aov as aov_mod
+from raytrace_tpu import denoising as denoising_mod
+from raytrace_tpu import renderer as renderer_mod
+from raytrace_tpu import trace as trace_mod
+from raytrace_tpu.ops import tonemap as tm
+
+W, H = 800, 600
+cfg = trace_mod.TraceConfig(max_depth=50)
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def psnr(a, b):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return 10.0 * np.log10(1.0 / mse) if mse > 0 else float("inf")
+
+
+def fixed(scene, spp, seed=None):
+    """(image, warm device ms): 2 warm-up calls (per-spp jit compile,
+    then the fused-path compile on the capacity-cached 2nd call), then
+    best-of-3 device-resident frames synced by one scalar checksum."""
+    c = cfg if seed is None else trace_mod.TraceConfig(
+        max_depth=cfg.max_depth, seed=seed)
+    frame = lambda ac: renderer_mod.render_wavefront(
+        scene, width=W, height=H, samples=spp, cfg=c, as_numpy=False,
+        assume_capacity=ac)
+    img = frame(False)
+    float(jnp.sum(frame(False)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(frame(True)))
+        best = min(best, time.perf_counter() - t0)
+    renderer_mod.flush_capacity_checks()
+    return np.asarray(img), best * 1e3
+
+
+def ground_truth(scene):
+    acc = None
+    for k in range(8):
+        img, _ = fixed(scene, 128, seed=1000 + k)
+        acc = img if acc is None else acc + img
+    return acc / 8.0
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        ROOT, "assets/two_red_cubes_scene.json")
+    scene, _ = rt.load_scene(path)
+    disp = lambda img: np.asarray(tm.tonemap(jnp.asarray(img)))
+
+    print(f"scene: {os.path.basename(path)} {W}x{H} d{cfg.max_depth}",
+          flush=True)
+    t0 = time.perf_counter()
+    gt = disp(ground_truth(scene))
+    print(f"ground truth 8x128 spp: {time.perf_counter() - t0:.1f} s "
+          f"(incl compiles)", flush=True)
+
+    aovs = aov_mod.render_aovs(scene, width=W, height=H, as_numpy=False)
+    rows = []
+
+    def add_denoised(name, img, var, spp, cost_ms):
+        t0 = time.perf_counter()
+        img_d = denoising_mod.denoise(
+            jnp.asarray(img), aovs,
+            variance=None if var is None else jnp.asarray(var),
+            as_numpy=True)
+        dt = (time.perf_counter() - t0) * 1e3
+        rows.append((f"{name} + denoise", spp, cost_ms + dt,
+                     psnr(disp(img_d), gt)))
+
+    for spp in (2, 4, 8, 16, 25, 50, 100):
+        img, ms = fixed(scene, spp)
+        rows.append((f"fixed {spp} spp", spp, ms, psnr(disp(img), gt)))
+        if spp in (4, 8, 16):
+            add_denoised(f"fixed {spp} spp", img, None, spp, ms)
+
+    for mins, maxs, tol in ((4, 64, 0.05), (4, 64, 0.02), (8, 100, 0.02)):
+        kw = dict(width=W, height=H, cfg=cfg, min_spp=mins, max_spp=maxs,
+                  batch=2 * mins, rel_tol=tol, engine="pallas",
+                  return_variance=True)
+        adaptive_mod.render_adaptive(scene, **kw)   # compile/warm
+        t0 = time.perf_counter()
+        img_a, spp_map, var = adaptive_mod.render_adaptive(scene, **kw)
+        t_a = (time.perf_counter() - t0) * 1e3
+        mean_spp = float(np.mean(spp_map))
+        name = f"adaptive {mins}..{maxs} tol={tol}"
+        rows.append((name, mean_spp, t_a, psnr(disp(img_a), gt)))
+        add_denoised(name, img_a, var, mean_spp, t_a)
+
+    print("\n| Config | mean spp | cost ms | PSNR dB vs 1024spp |")
+    print("|---|---|---|---|")
+    for name, spp, ms, p in rows:
+        print(f"| {name} | {spp:.1f} | {ms:.0f} | {p:.2f} |", flush=True)
+    print("\n(>=50 dB in the tonemapped domain is visually lossless at "
+          "8 bits; fixed-frame costs are warm device ms, adaptive costs "
+          "are warm wall ms incl. the host convergence loop.)")
+
+
+if __name__ == "__main__":
+    main()
