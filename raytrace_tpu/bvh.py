@@ -564,6 +564,10 @@ def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
     """
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
+    # Cube faces [occl_tris, Nt) are excluded: the CALLER tests their
+    # boxes instead (intersect.any_hit accel branch / box_blocked).
+    occl = getattr(geom, "occl_tris", -1)
+    nt_occl = nt if occl < 0 else occl
     n_nodes = bvh.node_min.shape[0]
     B = origin.shape[:-1]
     inv_d = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)
@@ -618,7 +622,8 @@ def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
                 e1 = jnp.take(tri_e1, tidx, axis=0)
                 e2 = jnp.take(tri_e2, tidx, axis=0)
                 hit = jnp.where(is_s, t_s < _BIG,
-                                _tri_blocked(v0, e1, e2))
+                                _tri_blocked(v0, e1, e2)
+                                & (tidx < nt_occl))
             elif ns:
                 cen = jnp.take(geom.sph_center, pid, axis=0)
                 rad = jnp.take(geom.sph_radius, pid, axis=0)
@@ -628,7 +633,7 @@ def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
                 v0 = jnp.take(geom.tri_v0, pid, axis=0)
                 e1 = jnp.take(tri_e1, pid, axis=0)
                 e2 = jnp.take(tri_e2, pid, axis=0)
-                hit = _tri_blocked(v0, e1, e2)
+                hit = _tri_blocked(v0, e1, e2) & (pid < nt_occl)
             hit_any |= hit_box & is_leaf & (j < count) & hit
         blocked = blocked | hit_any
         descend = hit_box & ~is_leaf

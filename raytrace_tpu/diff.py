@@ -78,6 +78,14 @@ def split_params(scene: Scene):
         pln = jnp.linalg.norm(pn, axis=-1, keepdims=True)
         pn = jnp.where(pln > 0, pn / jnp.where(pln > 0, pln, 1.0), pn)
         geom = dataclasses.replace(geom, tri_normal=normal, pl_normal=pn)
+        # Box occluders assume the cube faces form an exact axis-aligned
+        # closed box; optimizing vertices breaks that premise, so the
+        # differentiable path falls back to triangle occlusion (exact
+        # and differentiable; the box fast path is a render-time-only
+        # substitution, see scene.Geometry.box_min).
+        geom = dataclasses.replace(
+            geom, box_min=jnp.zeros((0, 3), jnp.float32),
+            box_max=jnp.zeros((0, 3), jnp.float32), occl_tris=-1)
         return dataclasses.replace(
             scene,
             geometry=geom,

@@ -129,6 +129,32 @@ def triangle_blocked(origin, direction, v0, edge1, edge2, t_min, t_max):
             & (at >= t_min * ad) & (at <= tm * ad))
 
 
+def box_blocked(origin, direction, box_min, box_max, t_min, t_max):
+    """Axis-aligned box ANY-HIT: (B, Nb) bool.
+
+    A closed box's surface crossings along the ray are the slab
+    interval's endpoints [near, far]; like the sphere's two roots, the
+    ray hits the surface with t in [t_min, t_max] iff near or far lands
+    in the range (a segment strictly inside the box crosses no face).
+    This is the occlusion form of the 12 cube triangles the loader
+    keeps for closest-hit (scene.Geometry.box_min doc; verdicts agree
+    except at float rounding boundaries on edges/grazing rays).
+    near/far are NOT clamped to the range first - that would turn
+    "segment inside the box" into a false positive.
+    """
+    inv = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)  # (B,3)
+    o = origin[..., None, :]
+    iv = inv[..., None, :]
+    t0 = (box_min - o) * iv  # (B,Nb,3)
+    t1 = (box_max - o) * iv
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)  # (B,Nb)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_max = jnp.asarray(t_max)
+    tm = t_max[..., None] if t_max.ndim else t_max
+    in_rng = lambda t: (t >= t_min) & (t <= tm)
+    return (near <= far) & (in_rng(near) | in_rng(far))
+
+
 def plane_t(origin, direction, point, normal, t_min, t_max):
     """Infinite-plane hit distances for all (lane, plane) pairs.
 
@@ -435,24 +461,32 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
     sphere/triangle scan becomes an early-exit BVH walk (planes are still
     tested brute-force - they cannot be bounded). CPU-only, see use_accel.
     """
+    nb = getattr(geom, "box_min", jnp.zeros((0, 3))).shape[0]
     if use_accel(accel):
         from .. import bvh as bvh_mod
         blocked = bvh_mod.traverse_any(accel, origin=origin,
                                        direction=direction, geom=geom,
                                        t_min=t_min, t_max=t_max)
         npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+        t_max = jnp.asarray(t_max)
+        tm = t_max[..., None] if t_max.ndim else t_max
         if npl:
-            t_max = jnp.asarray(t_max)
-            tm = t_max[..., None] if t_max.ndim else t_max
             t = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
                         t_min, tm)
             blocked |= jnp.any(t < BIG, axis=-1)
+        if nb:
+            blocked |= jnp.any(box_blocked(origin, direction,
+                                           geom.box_min, geom.box_max,
+                                           t_min, t_max), axis=-1)
         return blocked
     t_max = jnp.asarray(t_max)
     tm = t_max[..., None] if t_max.ndim else t_max
     blocked = jnp.zeros(origin.shape[:-1], bool)
     ns = geom.sph_center.shape[0]
-    nt = geom.tri_v0.shape[0]
+    # Cube faces [occl_tris, Nt) are covered by the box tests below.
+    nt_all = geom.tri_v0.shape[0]
+    occl = getattr(geom, "occl_tris", -1)
+    nt = nt_all if occl < 0 else occl
     npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
     chunked = ns + nt + npl > PRIM_CHUNK
 
@@ -476,10 +510,10 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
                          geom.sph_radius, t_min, tm)
             blocked |= jnp.any(t < BIG, axis=-1)
     if nt:
-        edge1 = geom.tri_v1 - geom.tri_v0
-        edge2 = geom.tri_v2 - geom.tri_v0
+        edge1 = geom.tri_v1[:nt] - geom.tri_v0[:nt]
+        edge2 = geom.tri_v2[:nt] - geom.tri_v0[:nt]
         if chunked and nt > PRIM_CHUNK:
-            v0, e1, e2 = _pad_prims(nt, geom.tri_v0, edge1, edge2)
+            v0, e1, e2 = _pad_prims(nt, geom.tri_v0[:nt], edge1, edge2)
 
             def _scan_tri_blocked(blocked):
                 def body(b, k):
@@ -495,9 +529,13 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
 
             blocked = _scan_tri_blocked(blocked)
         else:
-            hit = triangle_blocked(origin, direction, geom.tri_v0,
+            hit = triangle_blocked(origin, direction, geom.tri_v0[:nt],
                                    edge1, edge2, t_min, t_max)
             blocked |= jnp.any(hit, axis=-1)
+    if nb:
+        blocked |= jnp.any(box_blocked(origin, direction, geom.box_min,
+                                       geom.box_max, t_min, t_max),
+                           axis=-1)
     if npl:
         t = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
                     t_min, tm)

@@ -238,8 +238,13 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                  return_state: bool = False, mode: str = "unroll",
                  n_nodes: int = 0, advanced: bool = False,
                  textures: tuple = (), wide: bool = False,
-                 max_stack: int = 0):
+                 max_stack: int = 0, nb: int = 0, nt_occl=None):
     """Build the kernel body for a scene shape (all sizes static).
+
+    nb / nt_occl: box-occluder split (scene.Geometry.box_min doc) -
+    any-hit paths test triangles [0, nt_occl) plus nb axis-aligned
+    boxes (one slab test replaces a cube's 12 triangle tests in the
+    soft-shadow loop); closest-hit paths still test every triangle.
 
     start_bounce/end_bounce bound the loop (RNG streams key off the
     absolute bounce index, so a [0,B) + resume [B,D) split is bit-identical
@@ -277,6 +282,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
     soft = cfg.soft_shadows
     seed = cfg.seed
     t_min = np.float32(1e-3)
+    if nt_occl is None:
+        nt_occl = nt
 
     def _tri_smooth_normal(tri, j, u, v, fnx, fny, fnz):
         """Barycentric vertex-normal interpolation (triangle.go:84-88:
@@ -376,7 +383,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             mat = jnp.where(win, m, mat)
         return t_best, nx, ny, nz, mat
 
-    def occl_precompute(sph, tri, pln, ox, oy, oz):
+    def occl_precompute(sph, tri, pln, box, ox, oy, oz):
         """Origin-only terms shared by ALL shadow rays from one hit point.
 
         Every bounce fires 1 + shadow_samples rays per light from the
@@ -395,7 +402,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
             sph_pre.append((ocx, ocy, ocz, cc))
         tri_pre = []
-        for j in range(nt):
+        for j in range(nt_occl):
             v0x, v0y, v0z = tri[0, j], tri[1, j], tri[2, j]
             e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
             e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
@@ -418,10 +425,17 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                    + (pln[1, j] - oy) * pln[4, j]
                    + (pln[2, j] - oz) * pln[5, j])
             pl_pre.append(num)
-        return sph_pre, tri_pre, pl_pre, (ox, oy, oz)
+        box_pre = []
+        for j in range(nb):
+            # slab numerators (box corner - origin); the per-direction
+            # test multiplies by 1/d and takes the near/far envelope
+            box_pre.append((box[0, j] - ox, box[1, j] - oy,
+                            box[2, j] - oz, box[3, j] - ox,
+                            box[4, j] - oy, box[5, j] - oz))
+        return sph_pre, tri_pre, pl_pre, box_pre, (ox, oy, oz)
 
-    def any_hit_pre(sph_pre, tri_pre, pl_pre, pln, tri, dx, dy, dz,
-                    t_max):
+    def any_hit_pre(sph_pre, tri_pre, pl_pre, box_pre, pln, tri,
+                    dx, dy, dz, t_max):
         """Occlusion in (t_min, t_max) from precomputed origin terms.
 
         Triangles: division-free sign-corrected form (u >= 0 etc. are
@@ -456,6 +470,26 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             para = denom == 0.0
             tj = num / jnp.where(para, 1.0, denom)
             blocked |= (~para) & (tj >= t_min) & (tj <= t_max)
+        if box_pre:
+            # Box occluders (intersect.box_blocked semantics): the slab
+            # interval's endpoints are the two surface crossings; hit in
+            # range iff near or far lands in [t_min, t_max].
+            ivx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            ivy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            ivz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+            for (lx, ly, lz, hx_, hy_, hz_) in box_pre:
+                t0x, t1x = lx * ivx, hx_ * ivx
+                t0y, t1y = ly * ivy, hy_ * ivy
+                t0z, t1z = lz * ivz, hz_ * ivz
+                near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                              jnp.maximum(t0y, t1y)),
+                                  jnp.maximum(t0z, t1z))
+                blocked |= ((near <= far)
+                            & (((near >= t_min) & (near <= t_max))
+                               | ((far >= t_min) & (far <= t_max))))
         return blocked
 
     # -- fori-loop variants: same math, dynamic SMEM row reads -------------
@@ -545,7 +579,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             carry = jax.lax.fori_loop(0, npl, pln_body, carry)
         return carry
 
-    def any_hit_loop(sph, tri, pln, ox, oy, oz, dx, dy, dz, t_max):
+    def any_hit_loop(sph, tri, pln, box, ox, oy, oz, dx, dy, dz, t_max):
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
 
@@ -599,11 +633,33 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             hit = (~para) & (tj >= t_min) & (tj <= t_max)
             return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
 
+        def box_body(j, blocked_f):
+            # intersect.box_blocked semantics (near/far two-crossing
+            # test); cube faces [nt_occl, nt) are excluded above.
+            ivx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            ivy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            ivz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+            t0x, t1x = (box[0, j] - ox) * ivx, (box[3, j] - ox) * ivx
+            t0y, t1y = (box[1, j] - oy) * ivy, (box[4, j] - oy) * ivy
+            t0z, t1z = (box[2, j] - oz) * ivz, (box[5, j] - oz) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                          jnp.maximum(t0y, t1y)),
+                              jnp.maximum(t0z, t1z))
+            hit = ((near <= far)
+                   & (((near >= t_min) & (near <= t_max))
+                      | ((far >= t_min) & (far <= t_max))))
+            return jnp.maximum(blocked_f, jnp.where(hit, 1.0, 0.0))
+
         blocked_f = jnp.zeros(ox.shape)
         if ns:
             blocked_f = jax.lax.fori_loop(0, ns, sph_body, blocked_f)
-        if nt:
-            blocked_f = jax.lax.fori_loop(0, nt, tri_body, blocked_f)
+        if nt_occl:
+            blocked_f = jax.lax.fori_loop(0, nt_occl, tri_body, blocked_f)
+        if nb:
+            blocked_f = jax.lax.fori_loop(0, nb, box_body, blocked_f)
         if npl:
             blocked_f = jax.lax.fori_loop(0, npl, pln_body, blocked_f)
         return blocked_f > 0.0
@@ -617,12 +673,12 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 bvh4 = refs[2]
                 stack_ref = refs[-1]  # SMEM scratch (after the outputs)
                 i0 = 3
-        sph, tri, pln, lit, mtab = refs[i0:i0 + 5]
-        pix_ref, samp_ref = refs[i0 + 5], refs[i0 + 6]
+        sph, tri, pln, box, lit, mtab = refs[i0:i0 + 6]
+        pix_ref, samp_ref = refs[i0 + 6], refs[i0 + 7]
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         tx_ref, ty_ref, tz_ref, al_ref) = refs[i0 + 7:i0 + 17]
-        rx_ref, ry_ref, rz_ref = refs[i0 + 17:i0 + 20]
-        state_refs = refs[i0 + 20:i0 + 30] if return_state else ()
+         tx_ref, ty_ref, tz_ref, al_ref) = refs[i0 + 8:i0 + 18]
+        rx_ref, ry_ref, rz_ref = refs[i0 + 18:i0 + 21]
+        state_refs = refs[i0 + 21:i0 + 31] if return_state else ()
         pix = pix_ref[:]
         samp = samp_ref[:]
 
@@ -921,12 +977,15 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     hit = ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0)
                            & (au + av <= ad) & (at >= t_min * ad)
                            & (at <= tmax * ad))
+                    # cube faces [nt_occl, nt) are handled by the box
+                    # pre-tests; mask them here (scalar compare)
+                    hit = hit & (tj_i < nt_occl)
                     return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
                 ivx, ivy, ivz = iv(ddx), iv(ddy), iv(ddz)
 
-                # Planes are not in the tree; test them first so their
-                # blocks feed the early-exit of the walk.
+                # Planes and box occluders are not in the tree; test
+                # them first so their blocks feed the walk's early exit.
                 bf = 1.0 - mask_f
                 if npl:
                     def pb(j, b):
@@ -940,6 +999,24 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         hit = (~para) & (tj >= t_min) & (tj <= tmax)
                         return jnp.maximum(b, jnp.where(hit, 1.0, 0.0))
                     bf = jax.lax.fori_loop(0, npl, pb, bf)
+                for j in range(nb):
+                    # intersect.box_blocked semantics
+                    t0x = (box[0, j] - px_) * ivx
+                    t1x = (box[3, j] - px_) * ivx
+                    t0y = (box[1, j] - py_) * ivy
+                    t1y = (box[4, j] - py_) * ivy
+                    t0z = (box[2, j] - pz_) * ivz
+                    t1z = (box[5, j] - pz_) * ivz
+                    bnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                                    jnp.minimum(t0y, t1y)),
+                                        jnp.minimum(t0z, t1z))
+                    bfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                                   jnp.maximum(t0y, t1y)),
+                                       jnp.maximum(t0z, t1z))
+                    bhit = ((bnear <= bfar)
+                            & (((bnear >= t_min) & (bnear <= tmax))
+                               | ((bfar >= t_min) & (bfar <= tmax))))
+                    bf = jnp.maximum(bf, jnp.where(bhit, 1.0, 0.0))
 
                 def _leaf_any(first, cnt, b2):
                     def lb(j, b3):
@@ -1079,8 +1156,9 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     sd.append((sdx, sdy, sdz, a_s, 1.0 / a_s))
 
                 bm = jnp.where(need, jnp.int32(0), FULL)
-                # Planes live outside the tree: test every sample first so
-                # plane-blocked lanes feed the walk's early exit.
+                # Planes and box occluders live outside the tree: test
+                # every sample first so blocked lanes feed the walk's
+                # early exit.
                 for j in range(npl):
                     pnx, pny, pnz = pln[3, j], pln[4, j], pln[5, j]
                     num = ((pln[0, j] - px_) * pnx
@@ -1091,6 +1169,35 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         para = denom == 0.0
                         tj = num / jnp.where(para, 1.0, denom)
                         hit = (~para) & (tj >= t_min) & (tj <= dist)
+                        bm = bm | jnp.where(hit, jnp.int32(1 << s),
+                                            jnp.int32(0))
+                if nb:
+                    box_lo = [(box[0, j] - px_, box[1, j] - py_,
+                               box[2, j] - pz_) for j in range(nb)]
+                    box_hi = [(box[3, j] - px_, box[4, j] - py_,
+                               box[5, j] - pz_) for j in range(nb)]
+                for s, (sdx, sdy, sdz, _, _) in (enumerate(sd) if nb
+                                                 else ()):
+                    sivx = iv(sdx)
+                    sivy = iv(sdy)
+                    sivz = iv(sdz)
+                    for j in range(nb):
+                        lx, ly, lz = box_lo[j]
+                        hx_, hy_, hz_ = box_hi[j]
+                        t0x, t1x = lx * sivx, hx_ * sivx
+                        t0y, t1y = ly * sivy, hy_ * sivy
+                        t0z, t1z = lz * sivz, hz_ * sivz
+                        bnear = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t0x, t1x),
+                                        jnp.minimum(t0y, t1y)),
+                            jnp.minimum(t0z, t1z))
+                        bfar = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t0x, t1x),
+                                        jnp.maximum(t0y, t1y)),
+                            jnp.maximum(t0z, t1z))
+                        hit = ((bnear <= bfar)
+                               & (((bnear >= t_min) & (bnear <= dist))
+                                  | ((bfar >= t_min) & (bfar <= dist))))
                         bm = bm | jnp.where(hit, jnp.int32(1 << s),
                                             jnp.int32(0))
 
@@ -1140,6 +1247,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     qy = sz * e1x - sx * e1z
                     qz = sx * e1y - sy * e1x
                     e2q = e2x * qx + e2y * qy + e2z * qz
+                    is_occl = tj_i < nt_occl  # cube faces -> box tests
                     for s, (sdx, sdy, sdz, _, _) in enumerate(sd):
                         det = -(sdx * n2x + sdy * n2y + sdz * n2z)
                         sg = jnp.where(det >= 0.0, 1.0, -1.0)
@@ -1149,7 +1257,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         at = e2q * sg
                         hit = ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0)
                                & (au + av <= ad) & (at >= t_min * ad)
-                               & (at <= dist * ad))
+                               & (at <= dist * ad)) & is_occl
                         b3 = b3 | jnp.where(hit, jnp.int32(1 << s),
                                             jnp.int32(0))
                     return b3
@@ -1275,7 +1383,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 return pre
 
             def occl_test_fn(pre, ddx, ddy, ddz, tmax):
-                return any_hit_loop(sph, tri, pln, pre[0], pre[1], pre[2],
+                return any_hit_loop(sph, tri, pln, box,
+                                    pre[0], pre[1], pre[2],
                                     ddx, ddy, ddz, tmax)
         else:
             soft_fused_fn = None
@@ -1284,14 +1393,14 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 return closest_hit(sph, tri, pln, ox, oy, oz, dx, dy, dz)
 
             def occl_pre_fn(px_, py_, pz_):
-                return occl_precompute(sph, tri, pln, px_, py_, pz_)
+                return occl_precompute(sph, tri, pln, box, px_, py_, pz_)
 
             def occl_light_fn(pre, mask_f, lx, ly, lz, dist):
                 return pre
 
             def occl_test_fn(pre, ddx, ddy, ddz, tmax):
-                return any_hit_pre(pre[0], pre[1], pre[2], pln, tri,
-                                   ddx, ddy, ddz, tmax)
+                return any_hit_pre(pre[0], pre[1], pre[2], pre[3],
+                                   pln, tri, ddx, ddy, ddz, tmax)
 
             def soft_guard_fn(pre, need_f, ldx, ldy, ldz, dist):
                 """Scalar per-block guard: can ANY primitive block ANY of
@@ -1311,7 +1420,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 win is every block fully in the open. Triangles are
                 covered by bounding spheres, planes by point-to-plane
                 distance <= dist."""
-                sph_pre, tri_pre, pl_pre, (hpx, hpy, hpz) = pre
+                sph_pre, tri_pre, pl_pre, box_pre, (hpx, hpy, hpz) = pre
                 eps_t = np.float32(1e-4)
                 eps_cc = np.float32(1e-4)
                 cone = np.float32(0.102)
@@ -1358,6 +1467,21 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                           + (e2z - mz) ** 2)
                     br = jnp.sqrt(jnp.maximum(d0, jnp.maximum(d1, d2)))
                     ocx, ocy, ocz = sx - mx, sy - my, sz - mz
+                    oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+                    can = jnp.maximum(
+                        can, sphere_guard(ocx, ocy, ocz, oc2 - br * br,
+                                          br))
+                for j in range(nb):
+                    # box occluder -> bounding sphere (scalar center +
+                    # half-diagonal radius from the table)
+                    bcx = (box[0, j] + box[3, j]) * 0.5
+                    bcy = (box[1, j] + box[4, j]) * 0.5
+                    bcz = (box[2, j] + box[5, j]) * 0.5
+                    ex = (box[3, j] - box[0, j]) * 0.5
+                    ey = (box[4, j] - box[1, j]) * 0.5
+                    ez = (box[5, j] - box[2, j]) * 0.5
+                    br = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+                    ocx, ocy, ocz = hpx - bcx, hpy - bcy, hpz - bcz
                     oc2 = ocx * ocx + ocy * ocy + ocz * ocz
                     can = jnp.maximum(
                         can, sphere_guard(ocx, ocy, ocz, oc2 - br * br,
@@ -2616,12 +2740,20 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
              + [al.reshape(-1, LANE)])
 
     sph, tri, pln, lit, mat = pack_tables(scene)
+    g = scene.geometry
+    nb = getattr(g, "box_min", jnp.zeros((0, 3))).shape[0]
+    occl = getattr(g, "occl_tris", -1)
+    nt_occl = nt if occl < 0 else occl
+    boxt = jnp.concatenate([g.box_min.astype(jnp.float32),
+                            g.box_max.astype(jnp.float32)],
+                           axis=1).T if nb else jnp.zeros((6, 0),
+                                                          jnp.float32)
     # Mosaic rejects 0-length operands; pad empty tables to one
     # (never-read) column - primitive loops run over the *static* counts.
     pad1 = lambda a: a if a.shape[-1] else jnp.zeros(a.shape[:-1] + (1,),
                                                      a.dtype)
-    sph, tri, pln, lit, mat = (pad1(sph), pad1(tri), pad1(pln), pad1(lit),
-                               pad1(mat))
+    sph, tri, pln, lit, mat, boxt = (pad1(sph), pad1(tri), pad1(pln),
+                                     pad1(lit), pad1(mat), pad1(boxt))
 
     mode = _kernel_mode(scene)
     bvh_inputs = []
@@ -2651,7 +2783,8 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
                                            False),
                           textures=tuple(getattr(scene.materials,
                                                  "textures", ()) or ()),
-                          wide=wide, max_stack=max_stack)
+                          wide=wide, max_stack=max_stack,
+                          nb=nb, nt_occl=nt_occl)
 
     rows = n_blocks * block_rows
     n_out = 13 if return_state else 3
@@ -2662,14 +2795,14 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[table_spec() for _ in range(len(bvh_inputs) + 5)]
+        in_specs=[table_spec() for _ in range(len(bvh_inputs) + 6)]
         + [lane_spec() for _ in range(12)],
         out_specs=[lane_spec() for _ in range(n_out)],
         out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
                    for _ in range(n_out)],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*bvh_inputs, sph, tri, pln, lit, mat, pix, samp, *comps)
+    )(*bvh_inputs, sph, tri, pln, boxt, lit, mat, pix, samp, *comps)
 
     rad = jnp.stack([c.reshape(-1) for c in out[:3]], axis=-1)[:B]
     if not return_state:

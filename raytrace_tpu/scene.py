@@ -64,6 +64,26 @@ class Geometry:
         default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
     pl_mat: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((0,), jnp.int32))
+    # Axis-aligned box occluders for shadow rays: cubes expand to 12
+    # triangles for closest-hit parity (scene.go:150-185 - normals and
+    # materials are per face), but a closed box's OCCLUSION verdict is
+    # identical to testing its two surface crossings [near, far] like
+    # the sphere's two roots: blocked iff near or far lands in
+    # [t_min, t_max]. One slab test replaces 12 triangle tests in the
+    # 16-sample soft-shadow loop. The loader orders cube triangles LAST
+    # and sets occl_tris so any-hit paths test triangles [0, occl_tris)
+    # + these boxes; closest-hit still tests every triangle. Verdicts
+    # match the 12-triangle form except at float rounding boundaries
+    # (edges/grazing - measure-zero, same class as the documented
+    # engine-divergence gates).
+    box_min: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    box_max: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    # Triangles [0, occl_tris) participate in any-hit; [occl_tris, Nt)
+    # are cube faces covered by box_min/box_max. -1 = all (no boxes).
+    occl_tris: int = dataclasses.field(default=-1,
+                                       metadata=dict(static=True))
     # Optional per-vertex normals, (Nt, 9) = [n0.xyz, n1.xyz, n2.xyz]:
     # barycentric-interpolated at hit time for smooth shading
     # (triangle.go:84-88 calculateInterpolatedNormal / the
@@ -223,6 +243,10 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     sph_c, sph_r, sph_m = [], [], []
     tri_v0, tri_v1, tri_v2, tri_n, tri_m = [], [], [], [], []
     tri_vn: List = []  # per-triangle (n0, n1, n2) or None (flat)
+    # Cube faces are kept separately and concatenated LAST so any-hit
+    # paths can swap them for box slab tests (Geometry.occl_tris).
+    cub_v0, cub_v1, cub_v2, cub_n, cub_m = [], [], [], [], []
+    box_lo, box_hi = [], []
     pl_p, pl_n, pl_m = [], [], []
     sph_count = 0
     mesh_count = 0
@@ -270,8 +294,18 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
             sph_count += 1
         elif otype == "cube":
             mid = add_material(obj.get("material"))
-            add_tris(_cube_triangles(_vec3(obj.get("position")),
-                                     _vec3(obj.get("size"), (1, 1, 1))), mid)
+            pos = _vec3(obj.get("position"))
+            size = _vec3(obj.get("size"), (1, 1, 1))
+            for v0, v1, v2 in _cube_triangles(pos, size):
+                cub_v0.append(v0)
+                cub_v1.append(v1)
+                cub_v2.append(v2)
+                cub_n.append(_face_normal(np.asarray(v0, np.float64),
+                                          np.asarray(v1, np.float64),
+                                          np.asarray(v2, np.float64)))
+                cub_m.append(mid)
+            box_lo.append([pos[k] - size[k] / 2.0 for k in range(3)])
+            box_hi.append([pos[k] + size[k] / 2.0 for k in range(3)])
             mesh_count += 1
         elif otype == "triangularprism" and not go_parity:
             mid = add_material(obj.get("material"))
@@ -308,6 +342,19 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     def arr(x, shape, dt=dtype):
         return jnp.asarray(np.array(x, np.float64).reshape(shape), dt)
 
+    # Concatenate cube faces after all other triangle sources; any-hit
+    # paths then cover [0, occl_tris) + the boxes (see Geometry). Note
+    # the reorder can flip closest-hit ties between EXACTLY coincident
+    # cube/non-cube faces - Go iterates scene order with strict "<" -
+    # but coincident coplanar surfaces are degenerate input.
+    n_occl = len(tri_v0) if box_lo else -1
+    tri_v0 += cub_v0
+    tri_v1 += cub_v1
+    tri_v2 += cub_v2
+    tri_n += cub_n
+    tri_m += cub_m
+    tri_vn += [None] * len(cub_v0)
+
     ns, nt, nl, npl = len(sph_c), len(tri_v0), len(l_pos), len(pl_p)
     vn_arr = None
     if any(v is not None for v in tri_vn):
@@ -334,6 +381,9 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
         pl_point=arr(pl_p, (npl, 3)),
         pl_normal=arr(pl_n, (npl, 3)),
         pl_mat=jnp.asarray(np.array(pl_m, np.int32).reshape(npl), jnp.int32),
+        box_min=arr(box_lo, (len(box_lo), 3)),
+        box_max=arr(box_hi, (len(box_hi), 3)),
+        occl_tris=n_occl,
         tri_vn=vn_arr,
     )
     lights = Lights(
