@@ -489,6 +489,11 @@ def traverse_closest(bvh: FlatBVH, geom, origin, direction,
     """
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
+    # Cube faces [occl_tris, Nt) are hit as boxes by the CALLER
+    # (intersect._closest_hit_accel seeds t_best with the box winner);
+    # masked here so they cannot double-win.
+    occl = getattr(geom, "occl_tris", -1)
+    nt_occl = nt if occl < 0 else occl
     n_nodes = bvh.node_min.shape[0]
     B = origin.shape[:-1]
     inv_d = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)
@@ -525,8 +530,9 @@ def traverse_closest(bvh: FlatBVH, geom, origin, direction,
                 v0 = jnp.take(geom.tri_v0, tidx, axis=0)
                 e1 = jnp.take(tri_e1, tidx, axis=0)
                 e2 = jnp.take(tri_e2, tidx, axis=0)
-                t_t = tri_hit_t(origin, direction, v0, e1, e2, t_min,
-                                t_best)
+                t_t = jnp.where(tidx < nt_occl,
+                                tri_hit_t(origin, direction, v0, e1, e2,
+                                          t_min, t_best), _BIG)
                 t = jnp.where(is_s, t_s, t_t)
             elif ns:
                 cen = jnp.take(geom.sph_center, pid, axis=0)
@@ -537,7 +543,9 @@ def traverse_closest(bvh: FlatBVH, geom, origin, direction,
                 v0 = jnp.take(geom.tri_v0, pid, axis=0)
                 e1 = jnp.take(tri_e1, pid, axis=0)
                 e2 = jnp.take(tri_e2, pid, axis=0)
-                t = tri_hit_t(origin, direction, v0, e1, e2, t_min, t_best)
+                t = jnp.where(pid < nt_occl,
+                              tri_hit_t(origin, direction, v0, e1, e2,
+                                        t_min, t_best), _BIG)
             valid = hit_box & is_leaf & (j < count) & (t < t_best)
             t_best = jnp.where(valid, t, t_best)
             best_id = jnp.where(valid, pid, best_id)

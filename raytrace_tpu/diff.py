@@ -85,7 +85,8 @@ def split_params(scene: Scene):
         # substitution, see scene.Geometry.box_min).
         geom = dataclasses.replace(
             geom, box_min=jnp.zeros((0, 3), jnp.float32),
-            box_max=jnp.zeros((0, 3), jnp.float32), occl_tris=-1)
+            box_max=jnp.zeros((0, 3), jnp.float32),
+            box_mat=jnp.zeros((0,), jnp.int32), occl_tris=-1)
         return dataclasses.replace(
             scene,
             geometry=geom,

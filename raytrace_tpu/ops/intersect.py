@@ -129,6 +129,27 @@ def triangle_blocked(origin, direction, v0, edge1, edge2, t_min, t_max):
             & (at >= t_min * ad) & (at <= tm * ad))
 
 
+def box_t(origin, direction, box_min, box_max, t_min, t_max):
+    """CLOSEST-hit distances for all (lane, box) pairs: (B,Nb), BIG on
+    miss. The slab interval's endpoints are the box's two surface
+    crossings; near root preferred, far root fallback, both tested
+    against [t_min, t_max] - exactly the sphere's two-root rule
+    (sphere_t) applied to the cube the 12 face triangles tile. The hit
+    record's outward normal is reconstructed point-based in
+    _hit_from_tidx (dominant axis of (p - center)/half)."""
+    inv = 1.0 / jnp.where(direction == 0.0, 1e-30, direction)
+    o = origin[..., None, :]
+    iv = inv[..., None, :]
+    t0 = (box_min - o) * iv
+    t1 = (box_max - o) * iv
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    ok = near <= far
+    in0 = ok & (near >= t_min) & (near <= t_max)
+    in1 = ok & (far >= t_min) & (far <= t_max)
+    return jnp.where(in0, near, jnp.where(in1, far, BIG))
+
+
 def box_blocked(origin, direction, box_min, box_max, t_min, t_max):
     """Axis-aligned box ANY-HIT: (B, Nb) bool.
 
@@ -260,8 +281,13 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG,
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
     npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+    nb = getattr(geom, "box_min", jnp.zeros((0, 3))).shape[0]
+    # Cube faces [occl_tris, nt) are hit as boxes (box_t); their rows
+    # keep the full-nt index space so winner ids stay stable.
+    occl = getattr(geom, "occl_tris", -1)
+    nt_t = nt if occl < 0 else occl
 
-    if ns + nt + npl > PRIM_CHUNK:
+    if ns + nt_t + npl + nb > PRIM_CHUNK:
         return _closest_hit_chunked(geom, origin, direction, t_min, t_max,
                                     ns, nt, npl)
 
@@ -270,13 +296,22 @@ def closest_hit(geom, origin, direction, t_min=1e-3, t_max=BIG,
         ts.append(sphere_t(origin, direction, geom.sph_center,
                            geom.sph_radius, t_min, t_max))
     if nt:
-        edge1 = geom.tri_v1 - geom.tri_v0
-        edge2 = geom.tri_v2 - geom.tri_v0
-        ts.append(triangle_t(origin, direction, geom.tri_v0, edge1, edge2,
-                             t_min, t_max))
+        if nt_t:
+            edge1 = geom.tri_v1[:nt_t] - geom.tri_v0[:nt_t]
+            edge2 = geom.tri_v2[:nt_t] - geom.tri_v0[:nt_t]
+            tt = triangle_t(origin, direction, geom.tri_v0[:nt_t],
+                            edge1, edge2, t_min, t_max)
+        else:
+            tt = jnp.zeros(B + (0,), origin.dtype)
+        # pad the cube-face columns with BIG so plane/box ids line up
+        ts.append(jnp.pad(tt, ((0, 0),) * len(B) + ((0, nt - nt_t),),
+                          constant_values=BIG))
     if npl:
         ts.append(plane_t(origin, direction, geom.pl_point,
                           geom.pl_normal, t_min, t_max))
+    if nb:
+        ts.append(box_t(origin, direction, geom.box_min, geom.box_max,
+                        t_min, t_max))
     if not ts:
         zeros3 = jnp.zeros(B + (3,), origin.dtype)
         return Hit(t=jnp.full(B, BIG, origin.dtype),
@@ -294,9 +329,11 @@ def _closest_hit_chunked(geom, origin, direction, t_min, t_max,
                          ns, nt, npl) -> Hit:
     """Memory-bounded brute force for large scenes: per-type first-min
     over PRIM_CHUNK slabs, merged with the same tie precedence as the
-    concat+argmin small-scene path ([spheres, triangles, planes], strict
-    < between types, earliest column within a type)."""
+    concat+argmin small-scene path ([spheres, triangles, planes, boxes],
+    strict < between types, earliest column within a type)."""
     B = origin.shape[:-1]
+    occl = getattr(geom, "occl_tris", -1)
+    nt_t = nt if occl < 0 else occl  # cube faces hit as boxes below
     t = jnp.full(B, BIG, origin.dtype)
     idx = jnp.zeros(B, jnp.int32)
 
@@ -312,18 +349,18 @@ def _closest_hit_chunked(geom, origin, direction, t_min, t_max,
                           geom.sph_radius, t_min, t_max)
             idx = jnp.argmin(ts, axis=-1).astype(jnp.int32)
             t = jnp.take_along_axis(ts, idx[..., None], axis=-1)[..., 0]
-    if nt:
-        edge1 = geom.tri_v1 - geom.tri_v0
-        edge2 = geom.tri_v2 - geom.tri_v0
-        if nt > PRIM_CHUNK:
-            v0, e1, e2 = _pad_prims(nt, geom.tri_v0, edge1, edge2)
+    if nt_t:
+        edge1 = geom.tri_v1[:nt_t] - geom.tri_v0[:nt_t]
+        edge2 = geom.tri_v2[:nt_t] - geom.tri_v0[:nt_t]
+        if nt_t > PRIM_CHUNK:
+            v0, e1, e2 = _pad_prims(nt_t, geom.tri_v0[:nt_t], edge1, edge2)
             t_fn = lambda s: _mask_cols(
                 triangle_t(origin, direction, _slab(v0, s), _slab(e1, s),
-                           _slab(e2, s), t_min, t_max), s, nt)
-            t_t, i_t = _chunked_min_t(t_fn, nt, origin)
+                           _slab(e2, s), t_min, t_max), s, nt_t)
+            t_t, i_t = _chunked_min_t(t_fn, nt_t, origin)
         else:
-            ts = triangle_t(origin, direction, geom.tri_v0, edge1, edge2,
-                            t_min, t_max)
+            ts = triangle_t(origin, direction, geom.tri_v0[:nt_t],
+                            edge1, edge2, t_min, t_max)
             i_t = jnp.argmin(ts, axis=-1).astype(jnp.int32)
             t_t = jnp.take_along_axis(ts, i_t[..., None], axis=-1)[..., 0]
         win = t_t < t
@@ -339,6 +376,15 @@ def _closest_hit_chunked(geom, origin, direction, t_min, t_max,
         win = t_p < t
         t = jnp.where(win, t_p, t)
         idx = jnp.where(win, ns + nt + i_p, idx)
+    nb = getattr(geom, "box_min", jnp.zeros((0, 3))).shape[0]
+    if nb:
+        ts = box_t(origin, direction, geom.box_min, geom.box_max,
+                   t_min, t_max)
+        i_b = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+        t_b = jnp.take_along_axis(ts, i_b[..., None], axis=-1)[..., 0]
+        win = t_b < t
+        t = jnp.where(win, t_b, t)
+        idx = jnp.where(win, ns + nt + npl + i_b, idx)
     return _hit_from_tidx(geom, origin, direction, t, idx)
 
 
@@ -385,15 +431,19 @@ def _hit_from_tidx(geom, origin, direction, t, idx) -> Hit:
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
     npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+    nbx = getattr(geom, "box_min", jnp.zeros((0, 3))).shape[0]
     hit = t < BIG
 
     point = origin + direction * t[..., None]
 
     is_sphere = idx < ns if ns else jnp.zeros(B, bool)
-    is_plane = idx >= (ns + nt) if npl else jnp.zeros(B, bool)
+    is_box = idx >= (ns + nt + npl) if nbx else jnp.zeros(B, bool)
+    is_plane = ((idx >= (ns + nt)) & ~is_box if npl
+                else jnp.zeros(B, bool))
     sph_idx = jnp.minimum(idx, max(ns - 1, 0))
     tri_idx = jnp.clip(idx - ns, 0, max(nt - 1, 0))
     pl_idx = jnp.clip(idx - ns - nt, 0, max(npl - 1, 0))
+    box_idx = jnp.clip(idx - ns - nt - npl, 0, max(nbx - 1, 0))
 
     if ns:
         c = jnp.take(geom.sph_center, sph_idx, axis=0)
@@ -419,11 +469,38 @@ def _hit_from_tidx(geom, origin, direction, t, idx) -> Hit:
     else:
         n_pl = jnp.zeros(B + (3,), origin.dtype)
         m_pl = jnp.zeros(B, jnp.int32)
+    if nbx:
+        # Box "winding" normal, point-based: the dominant axis of the
+        # normalized center offset (p - c)/h, signed - then NEGATED.
+        # The reference's cube expansion winds ALL six faces INWARD
+        # (scene.go:150-185: e.g. face [0,1,2,3] on the z- side crosses
+        # to +z), so the pre-flip triangle normal points into the cube
+        # and exterior hits carry front_face=False. That flag steers
+        # the dielectric eta (material.go), so the box form must
+        # reproduce it exactly; the front-face flip restores the
+        # outward SHADING normal either way. argmax ties
+        # (edges/corners) resolve x<y<z.
+        lo = jnp.take(geom.box_min, box_idx, axis=0)
+        hi = jnp.take(geom.box_max, box_idx, axis=0)
+        ctr = (lo + hi) * 0.5
+        half = jnp.maximum((hi - lo) * 0.5, 1e-30)
+        q = (point - ctr) / half
+        ax = jnp.argmax(jnp.abs(q), axis=-1)
+        n_box = -(jax.nn.one_hot(ax, 3, dtype=origin.dtype)
+                  * jnp.sign(jnp.take_along_axis(q, ax[..., None],
+                                                 axis=-1)))
+        m_box = jnp.take(geom.box_mat, box_idx, axis=0)
+    else:
+        n_box = jnp.zeros(B + (3,), origin.dtype)
+        m_box = jnp.zeros(B, jnp.int32)
 
-    outward = jnp.where(is_sphere[..., None], n_sph,
-                        jnp.where(is_plane[..., None], n_pl, n_tri))
+    outward = jnp.where(
+        is_sphere[..., None], n_sph,
+        jnp.where(is_box[..., None], n_box,
+                  jnp.where(is_plane[..., None], n_pl, n_tri)))
     mat_id = jnp.where(is_sphere, m_sph,
-                       jnp.where(is_plane, m_pl, m_tri))
+                       jnp.where(is_box, m_box,
+                                 jnp.where(is_plane, m_pl, m_tri)))
     front_face = _dot(direction, outward) < 0.0
     normal = jnp.where(front_face[..., None], outward, -outward)
 
@@ -433,14 +510,35 @@ def _hit_from_tidx(geom, origin, direction, t, idx) -> Hit:
 
 def _closest_hit_accel(geom, accel, origin, direction, t_min, t_max) -> Hit:
     """BVH-accelerated closest hit: tree walk over spheres+triangles,
-    brute force over the (unbounded) planes, merged by nearest t."""
+    brute force over the (unbounded) planes and the box occluders,
+    merged by nearest t. Boxes are tested FIRST and their winning t is
+    the walk's initial clamp, so subtrees behind a cube face are culled
+    (the cube's own face triangles are masked inside the walk - the box
+    is their closest-hit form, see box_t)."""
     from .. import bvh as bvh_mod
-    t, pid = bvh_mod.traverse_closest(accel, geom, origin, direction,
-                                      t_min, t_max)
+    ns = geom.sph_center.shape[0]
+    nt = geom.tri_v0.shape[0]
     npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
+    nb = getattr(geom, "box_min", jnp.zeros((0, 3))).shape[0]
+    t_box = None
+    tm_walk = t_max
+    if nb:
+        t_b = box_t(origin, direction, geom.box_min, geom.box_max,
+                    t_min, t_max)  # (B, Nb)
+        b_idx = jnp.argmin(t_b, axis=-1)
+        t_box = jnp.take_along_axis(t_b, b_idx[..., None], axis=-1)[..., 0]
+        tm_walk = jnp.minimum(jnp.asarray(t_max, origin.dtype),
+                              t_box)
+    t, pid = bvh_mod.traverse_closest(accel, geom, origin, direction,
+                                      t_min, tm_walk)
+    if nb:
+        # the walk reports BIG where nothing beat tm_walk; a box winner
+        # fills those lanes (strict <, so an earlier tree prim that TIES
+        # the box keeps precedence like the [sph, tri, pln, box] order)
+        box_wins = t_box < t
+        t = jnp.where(box_wins, t_box, t)
+        pid = jnp.where(box_wins, ns + nt + npl + b_idx, pid)
     if npl:
-        ns = geom.sph_center.shape[0]
-        nt = geom.tri_v0.shape[0]
         t_pl = plane_t(origin, direction, geom.pl_point, geom.pl_normal,
                        t_min, t_max)  # (B, Npl)
         pl_idx = jnp.argmin(t_pl, axis=-1)

@@ -302,7 +302,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         inv_l = 1.0 / jnp.where(ln > 0.0, ln, 1.0)
         return inx * inv_l, iny * inv_l, inz * inv_l
 
-    def closest_hit(sph, tri, pln, ox, oy, oz, dx, dy, dz):
+    def closest_hit(sph, tri, pln, box, ox, oy, oz, dx, dy, dz):
         """Returns (t, outward nx,ny,nz, mat_id_f). t==BIG on miss."""
         shape = ox.shape
         t_best = jnp.full(shape, BIG)
@@ -336,7 +336,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             ny = jnp.where(win, (pyj - cy) * inv_r, ny)
             nz = jnp.where(win, (pzj - cz) * inv_r, nz)
             mat = jnp.where(win, m, mat)
-        for j in range(nt):
+        for j in range(nt_occl):  # cube faces [nt_occl, nt): boxes below
             v0x, v0y, v0z = tri[0, j], tri[1, j], tri[2, j]
             e1x, e1y, e1z = tri[3, j], tri[4, j], tri[5, j]
             e2x, e2y, e2z = tri[6, j], tri[7, j], tri[8, j]
@@ -381,6 +381,60 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             ny = jnp.where(win, pny, ny)
             nz = jnp.where(win, pnz, nz)
             mat = jnp.where(win, m, mat)
+        if nb:
+            t_best, nx, ny, nz, mat = _box_closest(
+                box, (t_best, nx, ny, nz, mat), ox, oy, oz, dx, dy, dz)
+        return t_best, nx, ny, nz, mat
+
+    def _box_closest(box, cy, ox, oy, oz, dx, dy, dz):
+        """Closest-hit over the cube boxes (intersect.box_t semantics:
+        slab near root preferred, far fallback - the sphere two-root
+        rule; outward normal point-based like _hit_from_tidx: dominant
+        axis of (p - center)/half, x<y<z on ties)."""
+        t_best, nx, ny, nz, mat = cy
+        bivx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+        bivy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+        bivz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+        for j in range(nb):
+            lxs, lys, lzs = box[0, j], box[1, j], box[2, j]
+            hxs, hys, hzs = box[3, j], box[4, j], box[5, j]
+            t0x, t1x = (lxs - ox) * bivx, (hxs - ox) * bivx
+            t0y, t1y = (lys - oy) * bivy, (hys - oy) * bivy
+            t0z, t1z = (lzs - oz) * bivz, (hzs - oz) * bivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                          jnp.maximum(t0y, t1y)),
+                              jnp.maximum(t0z, t1z))
+            ok = near <= far
+            in0 = ok & (near >= t_min) & (near <= t_best)
+            in1 = ok & (far >= t_min) & (far <= t_best)
+            tj = jnp.where(in0, near, jnp.where(in1, far, BIG))
+            win = tj < t_best
+            cxs = (lxs + hxs) * 0.5
+            cys = (lys + hys) * 0.5
+            czs = (lzs + hzs) * 0.5
+            exs = jnp.maximum((hxs - lxs) * 0.5, 1e-30)
+            eys = jnp.maximum((hys - lys) * 0.5, 1e-30)
+            ezs = jnp.maximum((hzs - lzs) * 0.5, 1e-30)
+            qx = (ox + dx * tj - cxs) / exs
+            qy = (oy + dy * tj - cys) / eys
+            qz = (oz + dz * tj - czs) / ezs
+            aqx, aqy, aqz = jnp.abs(qx), jnp.abs(qy), jnp.abs(qz)
+            pickx = (aqx >= aqy) & (aqx >= aqz)
+            picky = (~pickx) & (aqy >= aqz)
+            # NEGATED: the reference winds all cube faces INWARD, and
+            # front_face (which steers dielectric eta) must match the
+            # triangle form - see intersect._hit_from_tidx's box branch.
+            nxj = jnp.where(pickx, -jnp.sign(qx), 0.0)
+            nyj = jnp.where(picky, -jnp.sign(qy), 0.0)
+            nzj = jnp.where((~pickx) & (~picky), -jnp.sign(qz), 0.0)
+            t_best = jnp.where(win, tj, t_best)
+            nx = jnp.where(win, nxj, nx)
+            ny = jnp.where(win, nyj, ny)
+            nz = jnp.where(win, nzj, nz)
+            mat = jnp.where(win, box[6, j], mat)
         return t_best, nx, ny, nz, mat
 
     def occl_precompute(sph, tri, pln, box, ox, oy, oz):
@@ -499,7 +553,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
     # f32 - i1 vector carries fail to legalize).
     loop_mode = mode in ("loop", "bvh")
 
-    def closest_hit_loop(sph, tri, pln, ox, oy, oz, dx, dy, dz):
+    def closest_hit_loop(sph, tri, pln, box, ox, oy, oz, dx, dy, dz):
         shape = ox.shape
         zeros = jnp.zeros(shape)
         a = dx * dx + dy * dy + dz * dz
@@ -574,9 +628,11 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         if ns:
             carry = jax.lax.fori_loop(0, ns, sph_body, carry)
         if nt:
-            carry = jax.lax.fori_loop(0, nt, tri_body, carry)
+            carry = jax.lax.fori_loop(0, nt_occl, tri_body, carry)
         if npl:
             carry = jax.lax.fori_loop(0, npl, pln_body, carry)
+        if nb:
+            carry = _box_closest(box, carry, ox, oy, oz, dx, dy, dz)
         return carry
 
     def any_hit_loop(sph, tri, pln, box, ox, oy, oz, dx, dy, dz, t_max):
@@ -732,6 +788,9 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 tj = f * (e2x * qx + e2y * qy + e2z * qz)
                 win = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                        & (u + v <= 1.0) & (tj >= t_min) & (tj < t_best))
+                # cube faces [nt_occl, nt) are hit as boxes (carry
+                # seeded before the walk); scalar mask
+                win = win & (tj_i < nt_occl)
                 snx, sny, snz = _tri_smooth_normal(tri, tj_i, u, v,
                                                    tri[9, tj_i],
                                                    tri[10, tj_i],
@@ -781,9 +840,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                             dx, dy, dz)
                 return jax.lax.fori_loop(0, cnt, lb, carry)
 
-            def closest_fn_binary(ox, oy, oz, dx, dy, dz, alive_f):
-                shape = ox.shape
-                zeros = jnp.zeros(shape)
+            def closest_fn_binary(ox, oy, oz, dx, dy, dz, alive_f,
+                                  carry0):
                 a = dx * dx + dy * dy + dz * dz
                 inv_a = 1.0 / a
                 ivx, ivy, ivz = iv(dx), iv(dy), iv(dz)
@@ -824,19 +882,17 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     nxt = jnp.where(boxed & (~is_leaf), cur + 1, skip)
                     return (nxt,) + carry
 
-                init = (jnp.int32(0), jnp.full(shape, BIG),
-                        zeros, zeros, zeros, zeros)
+                init = (jnp.int32(0),) + carry0
                 out = jax.lax.while_loop(cond, body, init)
                 return out[1:]
 
-            def closest_fn_wide(ox, oy, oz, dx, dy, dz, alive_f):
+            def closest_fn_wide(ox, oy, oz, dx, dy, dz, alive_f,
+                                carry0):
                 """4-ary stack walk over the WideBVH4 table: pop a node,
                 slab-test its 4 slots (independent reduces -> they
                 pipeline), run boxed leaf slots, push boxed inner slots.
                 ~4x fewer latency-bound steps than the binary skip walk
                 on ring scenes (tools/sim_bvh4.py)."""
-                shape = ox.shape
-                zeros = jnp.zeros(shape)
                 a = dx * dx + dy * dy + dz * dz
                 inv_a = 1.0 / a
                 ivx, ivy, ivz = iv(dx), iv(dy), iv(dz)
@@ -892,14 +948,25 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     return (sp,) + carry
 
                 stack_ref[0] = jnp.int32(0)
-                init = (jnp.int32(1), jnp.full(shape, BIG),
-                        zeros, zeros, zeros, zeros)
+                init = (jnp.int32(1),) + carry0
                 out = jax.lax.while_loop(cond, body, init)
                 return out[1:]
 
             def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
+                shape = ox.shape
+                zeros = jnp.zeros(shape)
+                carry0 = (jnp.full(shape, BIG), zeros, zeros, zeros,
+                          zeros)
+                if nb:
+                    # Box occluders resolve BEFORE the walk: their t
+                    # seeds t_best, so subtrees behind a cube face are
+                    # culled (the cube's own face triangles - still in
+                    # the tree for the conservative masks - are skipped
+                    # in _tri_closest_row).
+                    carry0 = _box_closest(box, carry0, ox, oy, oz,
+                                          dx, dy, dz)
                 walk = closest_fn_wide if wide else closest_fn_binary
-                carry = walk(ox, oy, oz, dx, dy, dz, alive_f)
+                carry = walk(ox, oy, oz, dx, dy, dz, alive_f, carry0)
                 if npl:
                     carry = jax.lax.fori_loop(
                         0, npl,
@@ -1373,7 +1440,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             soft_guard_fn = None
 
             def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
-                return closest_hit_loop(sph, tri, pln, ox, oy, oz,
+                return closest_hit_loop(sph, tri, pln, box, ox, oy, oz,
                                         dx, dy, dz)
 
             def occl_pre_fn(px_, py_, pz_):
@@ -1390,7 +1457,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             soft_fused_fn = None
 
             def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
-                return closest_hit(sph, tri, pln, ox, oy, oz, dx, dy, dz)
+                return closest_hit(sph, tri, pln, box, ox, oy, oz,
+                                   dx, dy, dz)
 
             def occl_pre_fn(px_, py_, pz_):
                 return occl_precompute(sph, tri, pln, box, px_, py_, pz_)
@@ -2744,10 +2812,10 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
     nb = getattr(g, "box_min", jnp.zeros((0, 3))).shape[0]
     occl = getattr(g, "occl_tris", -1)
     nt_occl = nt if occl < 0 else occl
-    boxt = jnp.concatenate([g.box_min.astype(jnp.float32),
-                            g.box_max.astype(jnp.float32)],
-                           axis=1).T if nb else jnp.zeros((6, 0),
-                                                          jnp.float32)
+    boxt = jnp.concatenate(
+        [g.box_min.astype(jnp.float32), g.box_max.astype(jnp.float32),
+         g.box_mat[:, None].astype(jnp.float32)],
+        axis=1).T if nb else jnp.zeros((7, 0), jnp.float32)
     # Mosaic rejects 0-length operands; pad empty tables to one
     # (never-read) column - primitive loops run over the *static* counts.
     pad1 = lambda a: a if a.shape[-1] else jnp.zeros(a.shape[:-1] + (1,),

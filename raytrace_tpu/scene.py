@@ -64,22 +64,27 @@ class Geometry:
         default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
     pl_mat: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((0,), jnp.int32))
-    # Axis-aligned box occluders for shadow rays: cubes expand to 12
-    # triangles for closest-hit parity (scene.go:150-185 - normals and
-    # materials are per face), but a closed box's OCCLUSION verdict is
-    # identical to testing its two surface crossings [near, far] like
-    # the sphere's two roots: blocked iff near or far lands in
-    # [t_min, t_max]. One slab test replaces 12 triangle tests in the
-    # 16-sample soft-shadow loop. The loader orders cube triangles LAST
-    # and sets occl_tris so any-hit paths test triangles [0, occl_tris)
-    # + these boxes; closest-hit still tests every triangle. Verdicts
-    # match the 12-triangle form except at float rounding boundaries
-    # (edges/grazing - measure-zero, same class as the documented
-    # engine-divergence gates).
+    # Axis-aligned boxes: the HIT form of cubes. The loader still
+    # expands every cube to 12 triangles (scene.go:150-185 parity; the
+    # conservative primary-hit masks and the BVH keep using them), but
+    # both the closest-hit and the occlusion tests treat the closed box
+    # as ONE primitive: the slab interval's endpoints [near, far] are
+    # its only surface crossings, so closest-hit takes near-else-far in
+    # range (exactly sphere_t's two-root rule, intersect.box_t; outward
+    # normal reconstructed point-based as the dominant axis of
+    # (p - center)/half) and any-hit blocks iff either crossing is in
+    # range (intersect.box_blocked). One test replaces 12 in the
+    # 16-sample soft-shadow loop and in every bounce's closest hit.
+    # The loader orders cube triangles LAST and sets occl_tris; hit
+    # results match the 12-triangle form except at float rounding
+    # boundaries (edges/grazing - measure-zero, same class as the
+    # documented engine-divergence gates).
     box_min: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
     box_max: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((0, 3), jnp.float32))
+    box_mat: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.int32))
     # Triangles [0, occl_tris) participate in any-hit; [occl_tris, Nt)
     # are cube faces covered by box_min/box_max. -1 = all (no boxes).
     occl_tris: int = dataclasses.field(default=-1,
@@ -243,10 +248,11 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
     sph_c, sph_r, sph_m = [], [], []
     tri_v0, tri_v1, tri_v2, tri_n, tri_m = [], [], [], [], []
     tri_vn: List = []  # per-triangle (n0, n1, n2) or None (flat)
-    # Cube faces are kept separately and concatenated LAST so any-hit
-    # paths can swap them for box slab tests (Geometry.occl_tris).
+    # Cube faces are kept separately and concatenated LAST so hit paths
+    # can swap them for box slab tests (Geometry.occl_tris). Cube k owns
+    # triangles [occl_tris + 12k, occl_tris + 12(k+1)).
     cub_v0, cub_v1, cub_v2, cub_n, cub_m = [], [], [], [], []
-    box_lo, box_hi = [], []
+    box_lo, box_hi, box_m = [], [], []
     pl_p, pl_n, pl_m = [], [], []
     sph_count = 0
     mesh_count = 0
@@ -306,6 +312,7 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
                 cub_m.append(mid)
             box_lo.append([pos[k] - size[k] / 2.0 for k in range(3)])
             box_hi.append([pos[k] + size[k] / 2.0 for k in range(3)])
+            box_m.append(mid)
             mesh_count += 1
         elif otype == "triangularprism" and not go_parity:
             mid = add_material(obj.get("material"))
@@ -383,6 +390,8 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
         pl_mat=jnp.asarray(np.array(pl_m, np.int32).reshape(npl), jnp.int32),
         box_min=arr(box_lo, (len(box_lo), 3)),
         box_max=arr(box_hi, (len(box_hi), 3)),
+        box_mat=jnp.asarray(np.array(box_m, np.int32).reshape(len(box_m)),
+                            jnp.int32),
         occl_tris=n_occl,
         tri_vn=vn_arr,
     )

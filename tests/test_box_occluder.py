@@ -101,6 +101,41 @@ def test_segment_inside_box_is_not_blocked():
     assert bool(intersect.any_hit(g, o, d, 1e-3, 0.9)[0])
 
 
+def test_box_closest_hit_matches_triangles_and_winding():
+    """Closest-hit also goes through the box (intersect.box_t): t,
+    normal, mat AND front_face must match the 12-triangle form. The
+    reference winds all cube faces INWARD (scene.go:150-185), so an
+    exterior cube hit carries front_face=False and the pre-flip normal
+    points into the cube - the box branch must reproduce that quirk
+    (it steers the dielectric eta)."""
+    g = _cube_scene().geometry
+    r = np.random.default_rng(11)
+    n = 2048
+    o = jnp.asarray(r.uniform(-4, 4, (n, 3)), jnp.float32)
+    d = jnp.asarray(r.normal(size=(n, 3)), jnp.float32)
+    hb = intersect.closest_hit(g, o, d)
+    ht = intersect.closest_hit(_tri_only(g), o, d)
+    np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(ht.hit))
+    hit = np.asarray(hb.hit)
+    np.testing.assert_allclose(np.asarray(hb.t)[hit],
+                               np.asarray(ht.t)[hit], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hb.normal)[hit],
+                               np.asarray(ht.normal)[hit], atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(hb.front_face)[hit],
+                                  np.asarray(ht.front_face)[hit])
+    np.testing.assert_array_equal(np.asarray(hb.mat_id)[hit],
+                                  np.asarray(ht.mat_id)[hit])
+    # direct check of the winding quirk: exterior hit -> front_face=False
+    o1 = jnp.array([[-1.2, 0.0, 5.0]])
+    d1 = jnp.array([[0.0, 0.0, -1.0]])
+    h1 = intersect.closest_hit(g, o1, d1)
+    assert bool(h1.hit[0]) and not bool(h1.front_face[0])
+    # flipped SHADING normal is outward (+z toward the ray)
+    np.testing.assert_allclose(np.asarray(h1.normal[0]), [0, 0, 1],
+                               atol=1e-6)
+
+
 def test_cube_shadows_render_identically():
     """Full render: box-occluded frame equals the triangle-occluded
     frame (fp-boundary pixels aside) and actually contains shadow."""
