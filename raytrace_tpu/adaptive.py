@@ -175,7 +175,9 @@ def render_adaptive(scene, *, width: int, height: int,
     `variance=` input). Every pixel receives samples 0..n-1 of the
     deterministic sample sequence, so with rel_tol=abs_tol=0 (never
     converge early) the image equals a fixed max_spp render up to float
-    summation order.
+    summation order. Pixels the conservative primary mask proves empty
+    are never sampled: they are exact black and report spp 0 in the
+    map (they used to burn min_spp samples tracing to black).
     """
     if cfg is None:
         cfg = trace_mod.TraceConfig()
@@ -195,7 +197,20 @@ def render_adaptive(scene, *, width: int, height: int,
     sum_y = np.zeros(n_px, np.float64)
     sum_y2 = np.zeros(n_px, np.float64)
     n_taken = np.zeros(n_px, np.int64)
-    active = np.arange(n_px, dtype=np.int64)
+    # Conservative primary mask: a pixel none of whose samples can hit
+    # geometry is EXACT black (renderer.go:170-173), so it never enters
+    # the sampler at all - it reports spp 0 and zero variance. On the
+    # demo scenes this shrinks the initial active set ~20-50x (and with
+    # it every batch's trace + host transfer). The mask may over-include
+    # (those pixels behave exactly as without it: min_spp samples of
+    # exact black, then convergence) but can never exclude a hittable
+    # pixel - the megakernel mask invariant, fuzz-tested. On TPU it is
+    # the spp-independent cone mask; on CPU it tests exactly the
+    # max_spp jittered rays the sampler would trace.
+    hit_px, _, _ = renderer_mod._pixel_mask(
+        scene, width=width, height=height, samples=max_spp, cfg=cfg,
+        go_camera=go_camera)
+    active = np.nonzero(np.asarray(hit_px))[0].astype(np.int64)
     s0 = 0
 
     # Elastic resume: the full sampler state (accumulators + active set +

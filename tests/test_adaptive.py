@@ -47,7 +47,12 @@ def test_adaptive_tol_zero_equals_fixed_spp():
     ref = np.asarray(renderer_mod.render_band(
         scene, jnp.int32(0), width=W, height=H, band_h=H, samples=8,
         cfg=cfg))
-    assert (spp == 8).all()
+    # mask-proven-empty pixels are never sampled (spp 0, exact black);
+    # every pixel that CAN hit takes the full max_spp
+    hit = spp > 0
+    assert (spp[hit] == 8).all()
+    assert (img[~hit] == 0.0).all()
+    assert hit.any()
     np.testing.assert_allclose(img, ref, atol=3e-5, rtol=1e-4)
 
 
@@ -70,10 +75,11 @@ def test_adaptive_saves_samples_on_flat_pixels():
     img, spp = adaptive.render_adaptive(
         scene, width=W, height=H, cfg=cfg, min_spp=4, max_spp=32, batch=4,
         rel_tol=0.05, abs_tol=1e-3, pad_quantum=64)
-    # miss pixels are exact black -> zero variance -> stop at min_spp
+    # miss pixels are exact black: mask-proven-empty ones never sample
+    # (spp 0); mask-over-included ones hit zero variance at min_spp
     miss = img.sum(axis=2) == 0.0
     assert miss.any()
-    assert (spp[miss] == 4).all()
+    assert np.isin(spp[miss], (0, 4)).all()
     # at least some geometry pixels demand more than min_spp, none
     # exceed the cap, and the frame saves samples overall
     assert (spp > 4).any()
@@ -174,7 +180,10 @@ def test_renderer_adaptive_wrapper():
     r.set_max_depth(3)
     img, spp = r.render_adaptive(scene, W, H, min_spp=4, rel_tol=0.05)
     assert img.dtype == np.uint8 and img.shape == (H, W, 3)
-    assert spp.shape == (H, W) and spp.min() >= 4 and spp.max() <= 16
+    # spp 0 = mask-proven-empty pixels (never sampled); sampled pixels
+    # stay within [min_spp, cap]
+    assert spp.shape == (H, W) and spp.max() <= 16
+    assert (spp[spp > 0] >= 4).all() and (spp > 0).any()
     assert r.benchmark_data.samples == float(spp.mean())
     # denoise=True routes through the AOV-guided filter (same shapes,
     # still finite uint8)

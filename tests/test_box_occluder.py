@@ -136,6 +136,25 @@ def test_box_closest_hit_matches_triangles_and_winding():
                                atol=1e-6)
 
 
+def test_sharded_wavefront_matches_on_cube_scene():
+    """The mesh-sharded wavefront must carry the box tables through
+    shard_map unchanged (same image as the jnp engine)."""
+    from raytrace_tpu import parallel
+    s = _cube_scene()
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+    img, ov = parallel.render_wavefront_sharded(
+        s, width=8, height=8, samples=1, cfg=cfg,
+        mesh=parallel.make_mesh(px=8, sp=1), px_capacity=8)
+    assert int(ov) == 0
+    pix = jnp.arange(64, dtype=jnp.uint32)
+    samp = jnp.zeros(64, dtype=jnp.uint32)
+    o, d = renderer_mod._lane_rays(s, pix, samp, width=8, height=8,
+                                   cfg=cfg, go_camera=True)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg)
+                     ).reshape(8, 8, 3)
+    np.testing.assert_allclose(np.asarray(img), ref, atol=1e-4)
+
+
 def test_cube_shadows_render_identically():
     """Full render: box-occluded frame equals the triangle-occluded
     frame (fp-boundary pixels aside) and actually contains shadow."""
