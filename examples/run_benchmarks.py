@@ -41,6 +41,13 @@ WORKLOADS = [
      os.path.join(REF_ASSETS, "final_silver_prism_purple_cube_.json")),
     ("two_red_cubes_scene.json", 800, 600, 100, None, None),
     ("atmosphere_demo.json", 800, 600, 100, None, None),
+    # Resolution scaling: the same headline scene at 4K UHD (the Go
+    # rays/s baseline is per-sample and resolution-independent to first
+    # order, so the vs-Go column stays meaningful).
+    ("sphere_reflections_light.json @4K", 3840, 2160, 100, 19_786_768,
+     os.path.join(REF_ASSETS, "sphere_reflections_light.json")),
+    # OBJ mesh import (glass + gold icosahedra, 40 triangles).
+    ("mesh_demo.json", 800, 600, 100, None, None),
 ]
 
 
@@ -69,13 +76,15 @@ def measure(scene, W, H, spp, batch=16, reps=3):
 def main():
     rows = []
     for name, W, H, spp, go, ref_path in WORKLOADS:
+        fname = name.split(" @")[0]  # "scene.json @4K" -> "scene.json"
         path = (ref_path if ref_path and os.path.exists(ref_path)
-                else os.path.join(ROOT, "assets", name))
+                else os.path.join(ROOT, "assets", fname))
         with open(path) as f:
             d = json.load(f)
         if d["camera"]["position"][2] < 0:
             d["camera"]["position"][2] *= -1
-        scene, _ = rt.scene_from_dict(d)
+        scene, _ = rt.scene_from_dict(
+            d, base_dir=os.path.dirname(os.path.abspath(path)))
         best, compile_s = measure(scene, W, H, spp)
         rps = W * H * spp / best
         vs = f"{rps / go:,.1f}x" if go else "—"
