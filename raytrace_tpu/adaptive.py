@@ -197,20 +197,7 @@ def render_adaptive(scene, *, width: int, height: int,
     sum_y = np.zeros(n_px, np.float64)
     sum_y2 = np.zeros(n_px, np.float64)
     n_taken = np.zeros(n_px, np.int64)
-    # Conservative primary mask: a pixel none of whose samples can hit
-    # geometry is EXACT black (renderer.go:170-173), so it never enters
-    # the sampler at all - it reports spp 0 and zero variance. On the
-    # demo scenes this shrinks the initial active set ~20-50x (and with
-    # it every batch's trace + host transfer). The mask may over-include
-    # (those pixels behave exactly as without it: min_spp samples of
-    # exact black, then convergence) but can never exclude a hittable
-    # pixel - the megakernel mask invariant, fuzz-tested. On TPU it is
-    # the spp-independent cone mask; on CPU it tests exactly the
-    # max_spp jittered rays the sampler would trace.
-    hit_px, _, _ = renderer_mod._pixel_mask(
-        scene, width=width, height=height, samples=max_spp, cfg=cfg,
-        go_camera=go_camera)
-    active = np.nonzero(np.asarray(hit_px))[0].astype(np.int64)
+    active = None  # resolved lazily below (resume overrides it)
     s0 = 0
 
     # Elastic resume: the full sampler state (accumulators + active set +
@@ -235,6 +222,30 @@ def render_adaptive(scene, *, width: int, height: int,
         sum_rgb, sum_y, sum_y2 = st["sum_rgb"], st["sum_y"], st["sum_y2"]
         n_taken, active, s0 = (st["n_taken"], st["active"].astype(np.int64),
                                int(st["s0"]))
+    if active is None:
+        # Conservative primary mask: a pixel none of whose samples can
+        # hit geometry is EXACT black (renderer.go:170-173), so it never
+        # enters the sampler - it reports spp 0 and zero variance. The
+        # mask may over-include (those pixels behave exactly as without
+        # it) but can never exclude a hittable pixel: on TPU it is the
+        # spp-independent cone mask; on CPU/DoF it tests exactly the
+        # max_spp jittered rays the sampler would trace with the
+        # closest-hit expressions (intersect.any_hit exact=True).
+        # Computed AFTER the resume branch (a resumed render carries its
+        # active set) and gated on CPU, where the per-lane fallback
+        # materializes n_px*max_spp rays in one shot - past ~4M lanes
+        # the (N,3) temporaries are a memory spike the batched sampler
+        # itself never pays, so the mask is skipped there (every pixel
+        # starts active, the pre-round-3 behavior).
+        n_mask_lanes = n_px * max_spp
+        if (jax.default_backend() == "tpu"
+                and not cfg.depth_of_field) or n_mask_lanes <= 4_000_000:
+            hit_px, _, _ = renderer_mod._pixel_mask(
+                scene, width=width, height=height, samples=max_spp,
+                cfg=cfg, go_camera=go_camera)
+            active = np.nonzero(np.asarray(hit_px))[0].astype(np.int64)
+        else:
+            active = np.arange(n_px, dtype=np.int64)
 
     def _flush():
         if checkpoint_path:

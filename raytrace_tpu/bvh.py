@@ -563,12 +563,16 @@ def traverse_closest(bvh: FlatBVH, geom, origin, direction,
     return jnp.where(pid >= 0, t, _BIG), pid
 
 
-def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
+def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max,
+                 exact=False):
     """Any-hit (occlusion) over a unified scene BVH; (B,) bool.
 
     t_max may be per-lane (B,) or scalar. A blocked lane jumps its cursor
     to the end immediately - shadow rays from lit regions terminate in a
     handful of node steps. Planes are not in the tree (see traverse_closest).
+    ``exact=True`` uses the closest-hit triangle expressions (tri_hit_t)
+    instead of the division-free form - the conservative-mask contract,
+    see intersect.any_hit.
     """
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
@@ -591,6 +595,9 @@ def traverse_any(bvh: FlatBVH, geom, origin, direction, t_min, t_max):
         # Division-free any-hit, mirroring intersect.triangle_blocked's
         # expression order exactly (shadow verdicts must agree with the
         # brute-force path bit-for-bit away from rounding boundaries).
+        if exact:
+            return tri_hit_t(origin, direction, v0, e1, e2, t_min,
+                             tm) < _BIG
         s = origin - v0
         n2 = jnp.cross(e1, e2)
         c1 = jnp.cross(e2, s)

@@ -417,7 +417,11 @@ def _interp_tri_normal(geom, tri_idx, origin, direction, n_face):
     n = (w[..., None] * vn[..., 0:3] + u[..., None] * vn[..., 3:6]
          + v[..., None] * vn[..., 6:9])
     ln = jnp.sqrt(_dot(n, n))
-    n = n / jnp.where(ln > 0.0, ln, 1.0)[..., None]
+    # reciprocal-MULTIPLY, not divide: megakernel._tri_smooth_normal
+    # computes inx * (1/ln), and x*(1/y) rounds differently from x/y -
+    # both engines must use the identical expression.
+    inv = 1.0 / jnp.where(ln > 0.0, ln, 1.0)
+    n = n * inv[..., None]
     return jnp.where(good[..., None], n, n_face)
 
 
@@ -532,9 +536,14 @@ def _closest_hit_accel(geom, accel, origin, direction, t_min, t_max) -> Hit:
     t, pid = bvh_mod.traverse_closest(accel, geom, origin, direction,
                                       t_min, tm_walk)
     if nb:
-        # the walk reports BIG where nothing beat tm_walk; a box winner
-        # fills those lanes (strict <, so an earlier tree prim that TIES
-        # the box keeps precedence like the [sph, tri, pln, box] order)
+        # The walk reports BIG where nothing beat tm_walk, and its
+        # accept test is strict (t < t_best seeded with t_box) - so a
+        # tree primitive whose t EXACTLY equals the box hit is rejected
+        # in the walk and the box takes the lane. That is the opposite
+        # tie order from the brute-force path ([sph, tri, pln, box]
+        # argmin order), observable only for exactly-coincident
+        # surfaces - degenerate input, same class as the documented
+        # engine-divergence gates.
         box_wins = t_box < t
         t = jnp.where(box_wins, t_box, t)
         pid = jnp.where(box_wins, ns + nt + npl + b_idx, pid)
@@ -550,7 +559,8 @@ def _closest_hit_accel(geom, accel, origin, direction, t_min, t_max) -> Hit:
     return _hit_from_tidx(geom, origin, direction, t, pid)
 
 
-def any_hit(geom, origin, direction, t_min, t_max, accel=None):
+def any_hit(geom, origin, direction, t_min, t_max, accel=None,
+            exact=False):
     """Occlusion test: does any primitive intersect in (t_min, t_max)?
 
     Shadow rays only need existence (renderer.go:303-309), not the closest
@@ -558,13 +568,25 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
     t_max may be per-lane: shape (B,) or scalar. With ``accel`` the
     sphere/triangle scan becomes an early-exit BVH walk (planes are still
     tested brute-force - they cannot be bounded). CPU-only, see use_accel.
+
+    ``exact=True`` evaluates triangles with the SAME expressions the
+    closest-hit uses (triangle_t) instead of the faster division-free
+    form: the two acceptance sets agree except within 1-2 ulp of an
+    edge or t-limit, where the division-free form can flip in EITHER
+    direction. Shadow verdicts tolerate that (measure-zero geometry),
+    but the primary-hit MASK must never exclude a lane the trace's
+    closest-hit would accept - renderer._pixel_mask's CPU branch passes
+    exact=True for that reason (the TPU mask kernels carry their own
+    epsilon slack). Sphere/plane/box tests are shared bit-for-bit by
+    both forms already.
     """
     nb = getattr(geom, "box_min", jnp.zeros((0, 3))).shape[0]
     if use_accel(accel):
         from .. import bvh as bvh_mod
         blocked = bvh_mod.traverse_any(accel, origin=origin,
                                        direction=direction, geom=geom,
-                                       t_min=t_min, t_max=t_max)
+                                       t_min=t_min, t_max=t_max,
+                                       exact=exact)
         npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
         t_max = jnp.asarray(t_max)
         tm = t_max[..., None] if t_max.ndim else t_max
@@ -610,15 +632,20 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
     if nt:
         edge1 = geom.tri_v1[:nt] - geom.tri_v0[:nt]
         edge2 = geom.tri_v2[:nt] - geom.tri_v0[:nt]
+        if exact:
+            tri_hit = lambda v0, e1, e2: triangle_t(
+                origin, direction, v0, e1, e2, t_min, tm) < BIG
+        else:
+            tri_hit = lambda v0, e1, e2: triangle_blocked(
+                origin, direction, v0, e1, e2, t_min, t_max)
         if chunked and nt > PRIM_CHUNK:
             v0, e1, e2 = _pad_prims(nt, geom.tri_v0[:nt], edge1, edge2)
 
             def _scan_tri_blocked(blocked):
                 def body(b, k):
                     st = k * PRIM_CHUNK
-                    hit = triangle_blocked(origin, direction,
-                                           _slab(v0, st), _slab(e1, st),
-                                           _slab(e2, st), t_min, t_max)
+                    hit = tri_hit(_slab(v0, st), _slab(e1, st),
+                                  _slab(e2, st))
                     col = st + jnp.arange(PRIM_CHUNK)
                     return b | jnp.any(hit & (col < nt), axis=-1), None
                 b, _ = jax.lax.scan(body, blocked,
@@ -627,9 +654,8 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None):
 
             blocked = _scan_tri_blocked(blocked)
         else:
-            hit = triangle_blocked(origin, direction, geom.tri_v0[:nt],
-                                   edge1, edge2, t_min, t_max)
-            blocked |= jnp.any(hit, axis=-1)
+            blocked |= jnp.any(tri_hit(geom.tri_v0[:nt], edge1, edge2),
+                               axis=-1)
     if nb:
         blocked |= jnp.any(box_blocked(origin, direction, geom.box_min,
                                        geom.box_max, t_min, t_max),

@@ -285,6 +285,24 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
     if nt_occl is None:
         nt_occl = nt
 
+    def _slab_near_far(lx, ly, lz, hx_, hy_, hz_, ivx, ivy, ivz):
+        """Slab-interval envelope for a box: inputs are the SIX
+        (corner - origin) differences and the inverse direction;
+        returns (near, far), the box's two surface crossings. Shared by
+        every box test in the kernel (closest, any-hit, walk pre-tests,
+        fused soft loop) so the expression can never desynchronize -
+        semantics doc: intersect.box_blocked/box_t."""
+        t0x, t1x = lx * ivx, hx_ * ivx
+        t0y, t1y = ly * ivy, hy_ * ivy
+        t0z, t1z = lz * ivz, hz_ * ivz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.maximum(t0z, t1z))
+        return near, far
+
     def _tri_smooth_normal(tri, j, u, v, fnx, fny, fnz):
         """Barycentric vertex-normal interpolation (triangle.go:84-88:
         w*n0 + u*n1 + v*n2, normalized, w = 1-u-v) from table rows
@@ -398,15 +416,9 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         for j in range(nb):
             lxs, lys, lzs = box[0, j], box[1, j], box[2, j]
             hxs, hys, hzs = box[3, j], box[4, j], box[5, j]
-            t0x, t1x = (lxs - ox) * bivx, (hxs - ox) * bivx
-            t0y, t1y = (lys - oy) * bivy, (hys - oy) * bivy
-            t0z, t1z = (lzs - oz) * bivz, (hzs - oz) * bivz
-            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                           jnp.minimum(t0y, t1y)),
-                               jnp.minimum(t0z, t1z))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                          jnp.maximum(t0y, t1y)),
-                              jnp.maximum(t0z, t1z))
+            near, far = _slab_near_far(lxs - ox, lys - oy, lzs - oz,
+                                       hxs - ox, hys - oy, hzs - oz,
+                                       bivx, bivy, bivz)
             ok = near <= far
             in0 = ok & (near >= t_min) & (near <= t_best)
             in1 = ok & (far >= t_min) & (far <= t_best)
@@ -532,15 +544,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             ivy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
             ivz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
             for (lx, ly, lz, hx_, hy_, hz_) in box_pre:
-                t0x, t1x = lx * ivx, hx_ * ivx
-                t0y, t1y = ly * ivy, hy_ * ivy
-                t0z, t1z = lz * ivz, hz_ * ivz
-                near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                               jnp.minimum(t0y, t1y)),
-                                   jnp.minimum(t0z, t1z))
-                far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                              jnp.maximum(t0y, t1y)),
-                                  jnp.maximum(t0z, t1z))
+                near, far = _slab_near_far(lx, ly, lz, hx_, hy_, hz_,
+                                           ivx, ivy, ivz)
                 blocked |= ((near <= far)
                             & (((near >= t_min) & (near <= t_max))
                                | ((far >= t_min) & (far <= t_max))))
@@ -695,15 +700,10 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             ivx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
             ivy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
             ivz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-            t0x, t1x = (box[0, j] - ox) * ivx, (box[3, j] - ox) * ivx
-            t0y, t1y = (box[1, j] - oy) * ivy, (box[4, j] - oy) * ivy
-            t0z, t1z = (box[2, j] - oz) * ivz, (box[5, j] - oz) * ivz
-            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                           jnp.minimum(t0y, t1y)),
-                               jnp.minimum(t0z, t1z))
-            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                          jnp.maximum(t0y, t1y)),
-                              jnp.maximum(t0z, t1z))
+            near, far = _slab_near_far(
+                box[0, j] - ox, box[1, j] - oy, box[2, j] - oz,
+                box[3, j] - ox, box[4, j] - oy, box[5, j] - oz,
+                ivx, ivy, ivz)
             hit = ((near <= far)
                    & (((near >= t_min) & (near <= t_max))
                       | ((far >= t_min) & (far <= t_max))))
@@ -1068,18 +1068,11 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     bf = jax.lax.fori_loop(0, npl, pb, bf)
                 for j in range(nb):
                     # intersect.box_blocked semantics
-                    t0x = (box[0, j] - px_) * ivx
-                    t1x = (box[3, j] - px_) * ivx
-                    t0y = (box[1, j] - py_) * ivy
-                    t1y = (box[4, j] - py_) * ivy
-                    t0z = (box[2, j] - pz_) * ivz
-                    t1z = (box[5, j] - pz_) * ivz
-                    bnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                                    jnp.minimum(t0y, t1y)),
-                                        jnp.minimum(t0z, t1z))
-                    bfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                                   jnp.maximum(t0y, t1y)),
-                                       jnp.maximum(t0z, t1z))
+                    bnear, bfar = _slab_near_far(
+                        box[0, j] - px_, box[1, j] - py_,
+                        box[2, j] - pz_, box[3, j] - px_,
+                        box[4, j] - py_, box[5, j] - pz_,
+                        ivx, ivy, ivz)
                     bhit = ((bnear <= bfar)
                             & (((bnear >= t_min) & (bnear <= tmax))
                                | ((bfar >= t_min) & (bfar <= tmax))))
@@ -1251,17 +1244,9 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     for j in range(nb):
                         lx, ly, lz = box_lo[j]
                         hx_, hy_, hz_ = box_hi[j]
-                        t0x, t1x = lx * sivx, hx_ * sivx
-                        t0y, t1y = ly * sivy, hy_ * sivy
-                        t0z, t1z = lz * sivz, hz_ * sivz
-                        bnear = jnp.maximum(
-                            jnp.maximum(jnp.minimum(t0x, t1x),
-                                        jnp.minimum(t0y, t1y)),
-                            jnp.minimum(t0z, t1z))
-                        bfar = jnp.minimum(
-                            jnp.minimum(jnp.maximum(t0x, t1x),
-                                        jnp.maximum(t0y, t1y)),
-                            jnp.maximum(t0z, t1z))
+                        bnear, bfar = _slab_near_far(
+                            lx, ly, lz, hx_, hy_, hz_,
+                            sivx, sivy, sivz)
                         hit = ((bnear <= bfar)
                                & (((bnear >= t_min) & (bnear <= dist))
                                   | ((bfar >= t_min) & (bfar <= dist))))

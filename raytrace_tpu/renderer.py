@@ -212,9 +212,16 @@ def _pixel_mask(scene, *, width: int, height: int, samples: int,
         origin, direction = _lane_rays(scene, pix_id, samp_id, width=width,
                                        height=height, cfg=cfg,
                                        go_camera=go_camera)
+        # exact=True: the mask must use the SAME triangle expressions as
+        # the trace's closest-hit - the division-free shadow form can
+        # flip a 1-2 ulp boundary ray in the EXCLUDE direction, and an
+        # excluded pixel is permanently black (the mask invariant:
+        # over-include freely, never exclude). The TPU mask kernels
+        # above carry their own epsilon slack instead.
         hit = intersect.any_hit(scene.geometry, origin, direction, 1e-3,
                                 intersect.BIG,
-                                accel=getattr(scene, "accel", None))
+                                accel=getattr(scene, "accel", None),
+                                exact=True)
         hit_px = jnp.any(hit.reshape(n_px, samples), axis=1)
     pos_px = jnp.cumsum(hit_px.astype(jnp.int32)) - 1
     return hit_px, pos_px, pos_px[-1] + 1

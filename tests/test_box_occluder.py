@@ -1,8 +1,11 @@
-"""Box occluders: cube faces swap for one slab test in any-hit paths
-(scene.Geometry.box_min doc). Closest-hit keeps the 12 triangles
-(scene.go:150-185 parity - per-face normals/materials); occlusion
-verdicts must equal the triangle form everywhere but exact float
-boundaries.
+"""Box primitives for cubes: ONE slab test replaces the 12 face
+triangles in BOTH the any-hit (intersect.box_blocked) and the closest
+hit (intersect.box_t; normal reconstructed point-based and negated to
+match the reference's inward face winding - it drives front_face and
+the dielectric eta). The 12 triangles stay in the tables and the BVH
+only for the conservative masks. All results must equal the triangle
+form everywhere but exact float boundaries (scene.Geometry.box_min
+doc).
 """
 import dataclasses
 

@@ -129,3 +129,46 @@ def test_triangle_analytic():
     assert bool(h.hit[0])
     np.testing.assert_allclose(float(h.t[0]), 4.0, rtol=1e-6)  # front face z=1
     np.testing.assert_allclose(np.asarray(h.normal[0]), [0, 0, 1], atol=1e-6)
+
+
+def test_exact_any_hit_matches_closest_accept_set_on_boundaries():
+    """The primary-hit mask's CPU branch uses any_hit(exact=True), which
+    must reproduce the closest-hit acceptance set BIT-FOR-BIT even on
+    rays constructed at triangle-edge/t-limit boundaries - the
+    division-free shadow form (exact=False) may flip such rays in the
+    EXCLUDE direction, which would permanently black out a pixel
+    (mask invariant: over-include freely, never exclude)."""
+    import raytrace_tpu as rt
+    r = np.random.default_rng(3)
+    objs = []
+    for k in range(6):
+        v = r.uniform(-2, 2, (3, 3))
+        objs.append({"type": "triangularPrism",
+                     "vertices": [v[0].tolist(), v[1].tolist(),
+                                  v[2].tolist(),
+                                  (v[0] + [0, 0, -0.5]).tolist(),
+                                  (v[1] + [0, 0, -0.5]).tolist(),
+                                  (v[2] + [0, 0, -0.5]).tolist()],
+                     "material": {"type": "lambertian",
+                                  "color": [0.5, 0.5, 0.5]}})
+    scene, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 8]}, "objects": objs,
+        "lights": []})
+    g = scene.geometry
+    v0 = np.asarray(g.tri_v0, np.float64)
+    v1 = np.asarray(g.tri_v1, np.float64)
+    v2 = np.asarray(g.tri_v2, np.float64)
+    # aim EXACTLY at edge points (u or v boundary) and vertices
+    pts = []
+    for t in (0.0, 0.25, 0.5, 1.0):
+        pts += [v0 + t * (v1 - v0), v0 + t * (v2 - v0),
+                v1 + t * (v2 - v1)]
+    tgt = np.concatenate(pts, axis=0)
+    o = np.tile(np.array([[0.3, -0.2, 6.0]]), (tgt.shape[0], 1))
+    d = (tgt - o).astype(np.float32)
+    o = o.astype(np.float32)
+    got = np.asarray(intersect.any_hit(g, jnp.asarray(o), jnp.asarray(d),
+                                       1e-3, intersect.BIG, exact=True))
+    ref = np.asarray(intersect.closest_hit(g, jnp.asarray(o),
+                                           jnp.asarray(d)).hit)
+    np.testing.assert_array_equal(got, ref)
