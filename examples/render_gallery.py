@@ -28,6 +28,7 @@ SCENES = [
     "final_silver_prism_purple_cube.json",
     "atmosphere_demo.json",
     "mesh_demo.json",
+    "smooth_shading_demo.json",  # smooth (vn) vs flat icosphere pair
 ]
 
 
