@@ -173,6 +173,52 @@ def test_engines_agree_on_smooth_mesh(quad_obj, monkeypatch, kmode):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("kmode", ["unroll", "loop", "bvh"])
+def test_smooth_mesh_plus_glass_cube_engines_agree(tmp_path, monkeypatch,
+                                                   kmode):
+    """The round-3 features composed: smooth vn mesh + a glass cube
+    (box closest-hit, winding-quirk front_face) + giant ground in one
+    scene - the vn table spans the REORDERED triangle array (mesh rows
+    first, cube faces last with tiled face normals) and every kernel
+    mode must match the jnp engine."""
+    p = tmp_path / "sm.obj"
+    p.write_text("v 0 1.5 0\nv 1 1.5 0\nv 1 2.5 0\nv 0 2.5 0\n"
+                 "vn 0 0 1\nvn 0.7071 0 0.7071\nvn 0 0.7071 0.7071\n"
+                 "f 1//1 2//2 3//3\nf 1//1 3//3 4//2\n")
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0.5, 1, 5], "aspectRatio": 1.0},
+        "objects": [
+            {"type": "mesh", "path": str(p),
+             "material": {"type": "lambertian", "color": [0.8, 0.3, 0.3]}},
+            {"type": "cube", "position": [0.5, 0, 0], "size": [1, 1, 1],
+             "material": {"type": "glass", "refractionIndex": 1.5}},
+            {"type": "sphere", "position": [0.5, -1000.8, 0],
+             "radius": 1000,
+             "material": {"type": "lambertian", "color": [0.5, 0.5, 0.5]}},
+        ],
+        "lights": [{"type": "point", "position": [3, 6, 4],
+                    "color": [1, 1, 1], "intensity": 2.5}]})
+    g = s.geometry
+    assert g.occl_tris == 2 and g.tri_vn.shape == (14, 9)
+    assert g.box_min.shape[0] == 1
+    cfg = trace_mod.TraceConfig(max_depth=4, shadow_samples=4)
+    W, H = 12, 8
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    samp = jnp.zeros(W * H, jnp.uint32)
+    o, d = renderer_mod._lane_rays(s, pix, samp, width=W, height=H,
+                                   cfg=cfg, go_camera=True)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg))
+    assert ref.max() > 0
+    if kmode != "unroll":
+        monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 1)
+        if kmode == "bvh":
+            s = scene_mod.with_accel(s)
+    assert mk._kernel_mode(s) == kmode
+    out = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                     block_rows=8))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_aov_normals_are_smooth(quad_obj):
     from raytrace_tpu import aov as aov_mod
     s = _scene(quad_obj)
