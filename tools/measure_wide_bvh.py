@@ -1,10 +1,11 @@
 """A/B the 4-wide BVH stack walk vs the binary skip walk on TPU.
 
-Ring-N scenes, d50/soft16 at 800x600/20spp (the sweep tools' workload;
-committed binary-walk baselines at this spp: ring-250 ~274 ms,
-ring-1000 ~704 ms best-of-3). The binary variant is selected by
-stripping accel.wide4 from the scene pytree (a different pytree ->
-its own jit program), so both run in one process/tunnel session.
+Ring-N scenes, d50/soft16 at 800x600/20spp. Settled 2026-08-19: wide4
+measured 0.900x/0.893x the binary walk on ring-250/1000 and is the
+default (BENCHMARKS.md optimization history). The binary variant is
+selected by stripping accel.wide4 from the scene pytree (a different
+pytree -> its own jit program), so both run in one process/tunnel
+session.
 
 Usage: python tools/measure_wide_bvh.py [n_spheres ...]
 """
