@@ -219,6 +219,25 @@ def test_smooth_mesh_plus_glass_cube_engines_agree(tmp_path, monkeypatch,
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_sharded_wavefront_matches_on_smooth_mesh(quad_obj):
+    """The mesh-sharded wavefront must carry the vn table through
+    shard_map unchanged (bit-equal image vs the jnp engine)."""
+    from raytrace_tpu import parallel
+    s = _scene(quad_obj)
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+    img, ov = parallel.render_wavefront_sharded(
+        s, width=8, height=8, samples=1, cfg=cfg,
+        mesh=parallel.make_mesh(px=8, sp=1), px_capacity=8)
+    assert int(ov) == 0
+    pix = jnp.arange(64, dtype=jnp.uint32)
+    samp = jnp.zeros(64, dtype=jnp.uint32)
+    o, d = renderer_mod._lane_rays(s, pix, samp, width=8, height=8,
+                                   cfg=cfg, go_camera=True)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg)
+                     ).reshape(8, 8, 3)
+    np.testing.assert_allclose(np.asarray(img), ref, atol=1e-4)
+
+
 def test_aov_normals_are_smooth(quad_obj):
     from raytrace_tpu import aov as aov_mod
     s = _scene(quad_obj)
