@@ -17,9 +17,23 @@ Convergence test: the standard-error of the per-pixel luminance,
 pixels). Tolerances are in linear-radiance units.
 
 Engine note: batches run through the jnp wavefront (`lane_radiance`) or
-the Pallas megakernel; the convergence decision runs on host between
-batches, which costs one device round-trip per batch (~30 ms through
-this environment's tunneled TPU — amortize with batch >= 8).
+the Pallas megakernel. Two accumulation modes:
+
+- ``accum="host"``: the original path — per-batch sums are pulled to the
+  host and accumulated in float64; the convergence decision runs on host
+  between batches. Three K-sized device->host transfers plus host math
+  per batch (~30 ms tunnel RPC each through this environment's TPU).
+- ``accum="device"``: the TPU-resident path — the per-pixel accumulators,
+  the stderr test AND the active-set compaction all live on device; the
+  host pulls ONE scalar (the surviving-pixel count) per test round, only
+  to pick the next pad bucket. Sums are float32 (per-pixel sums of
+  <= max_spp O(1) radiances — ~1e-7 relative error), so images match the
+  host path to float-summation order rather than bit-exactly; resume is
+  still bit-identical WITHIN the mode (f32 values round-trip exactly
+  through the f64 checkpoint schema).
+
+Default is host off-TPU (the f64 oracle semantics) and device on TPU,
+where the host path's per-batch transfers dominate wall time.
 """
 from __future__ import annotations
 
@@ -43,17 +57,12 @@ def _round_up_multiple(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
-                                   "go_camera", "engine", "block_rows"))
-def _sample_batch(scene, pix_pad, s0, *, width: int, height: int,
-                  batch: int, cfg: trace_mod.TraceConfig, go_camera: bool,
-                  engine: str, block_rows: int):
-    """Radiance sums for `batch` samples [s0, s0+batch) of each pixel id.
-
-    Returns (rgb_sum (K,3), luma_sum (K,), luma_sq_sum (K,)). s0 is a
-    traced scalar so every batch reuses one compiled program per
-    (K, batch) shape.
-    """
+def _batch_sums(scene, pix_pad, s0, *, width: int, height: int,
+                batch: int, cfg: trace_mod.TraceConfig, go_camera: bool,
+                engine: str, block_rows: int):
+    """Radiance sums for `batch` samples [s0, s0+batch) of each pixel id:
+    (rgb_sum (K,3), luma_sum (K,), luma_sq_sum (K,)). Shared trace body of
+    the host- and device-accumulation paths."""
     k = pix_pad.shape[0]
     pix = jnp.repeat(pix_pad, batch)
     samp = jnp.tile(jnp.arange(batch, dtype=jnp.uint32), k) + s0
@@ -71,6 +80,18 @@ def _sample_batch(scene, pix_pad, s0, *, width: int, height: int,
     rad = rad.reshape(k, batch, 3)
     luma = rad @ jnp.asarray(_LUMA, rad.dtype)
     return rad.sum(axis=1), luma.sum(axis=1), (luma * luma).sum(axis=1)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
+                                   "go_camera", "engine", "block_rows"))
+def _sample_batch(scene, pix_pad, s0, *, width: int, height: int,
+                  batch: int, cfg: trace_mod.TraceConfig, go_camera: bool,
+                  engine: str, block_rows: int):
+    """Host-accumulation entry: one jitted trace per (K, batch) shape;
+    s0 is a traced scalar so every batch reuses the compiled program."""
+    return _batch_sums(scene, pix_pad, s0, width=width, height=height,
+                       batch=batch, cfg=cfg, go_camera=go_camera,
+                       engine=engine, block_rows=block_rows)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
@@ -103,6 +124,94 @@ def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
         in_specs=(P(), P(axes)),
         out_specs=(P(axes), P(axes), P(axes)),
     )(scene, pix_pad)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident accumulation (accum="device"): state never leaves HBM.
+#
+# Active-set state is ACTIVE-aligned, not pixel-aligned: `act_ids` (K,)
+# pixel ids and `act_sums` (K, 5) [rgb, luma, luma^2] running sums, padded
+# to the bucket size with `k` live entries in front. When a pixel
+# converges, its row is flushed into the full-resolution `full_sums`
+# (n_px, 5) buffer by a dropped-rows-only scatter (pixel granularity — the
+# repo's scatter rule) and the survivors are stably re-compacted to the
+# front with a cumsum permutation. All actives hold exactly s0 samples
+# (lock-step batches), so the spp map needs one scalar per drop, not a
+# per-entry counter. The host sees ONE scalar per test round: the
+# survivor count, used only to shrink the pad bucket.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
+                                   "go_camera", "engine", "block_rows",
+                                   "do_test", "rel_tol", "abs_tol"))
+def _device_round(scene, act_ids, act_sums, full_sums, spp_map, k, s0, *,
+                  width: int, height: int, batch: int,
+                  cfg: trace_mod.TraceConfig, go_camera: bool, engine: str,
+                  block_rows: int, do_test: bool, rel_tol: float,
+                  abs_tol: float):
+    """One batch: trace, accumulate, and (on test rounds) converge+compact.
+
+    `k` and `s0` are traced scalars; `do_test` is static (the host knows
+    s0, so the min_spp <= s0+batch < max_spp window is a compile-time
+    branch). Returns the updated state plus the surviving count.
+    """
+    n_px = full_sums.shape[0]
+    k_pad = act_ids.shape[0]
+    valid = jnp.arange(k_pad, dtype=jnp.int32) < k
+
+    rgb, y, y2 = _batch_sums(scene, act_ids, s0, width=width, height=height,
+                             batch=batch, cfg=cfg, go_camera=go_camera,
+                             engine=engine, block_rows=block_rows)
+    add = jnp.concatenate([rgb, y[:, None], y2[:, None]], axis=1)
+    act_sums = act_sums + jnp.where(valid[:, None], add, 0.0)
+
+    if not do_test:
+        return act_ids, act_sums, full_sums, spp_map, k
+
+    nf = (s0 + jnp.uint32(batch)).astype(jnp.float32)
+    mean = act_sums[:, 3] / nf
+    var = jnp.maximum(0.0, (act_sums[:, 4] / nf - mean * mean)
+                      * (nf / jnp.maximum(nf - 1.0, 1.0)))
+    stderr = jnp.sqrt(var / nf)
+    keep = valid & (stderr > (abs_tol + rel_tol * jnp.maximum(mean, 0.0)))
+    drop = valid & ~keep
+
+    # Flush converged rows to the pixel-aligned buffers (index n_px is
+    # out of bounds -> mode="drop" discards the non-dropped rows).
+    idx = jnp.where(drop, act_ids, jnp.uint32(n_px))
+    full_sums = full_sums.at[idx].add(
+        jnp.where(drop[:, None], act_sums, 0.0), mode="drop")
+    spp_map = spp_map.at[idx].set(
+        (s0 + jnp.uint32(batch)).astype(jnp.int32), mode="drop")
+
+    # Stable keep-first partition: survivors to the front, same relative
+    # order (active ids stay ascending -> pixel-major lane coherence).
+    keep_i = keep.astype(jnp.int32)
+    n_keep = keep_i.sum()
+    pos = jnp.where(keep, jnp.cumsum(keep_i) - 1,
+                    n_keep + jnp.cumsum(1 - keep_i) - 1)
+    act_ids = jnp.zeros_like(act_ids).at[pos].set(act_ids)
+    act_sums = jnp.zeros_like(act_sums).at[pos].set(act_sums)
+    return act_ids, act_sums, full_sums, spp_map, n_keep
+
+
+@jax.jit
+def _device_finish(act_ids, act_sums, full_sums, spp_map, k, s0):
+    """Flush the still-active rows (they ran to s0 = the cap) and turn the
+    sums into (img (n_px,3), spp (n_px,), var-of-mean (n_px,))."""
+    n_px = full_sums.shape[0]
+    valid = jnp.arange(act_ids.shape[0], dtype=jnp.int32) < k
+    idx = jnp.where(valid, act_ids, jnp.uint32(n_px))
+    full = full_sums.at[idx].add(
+        jnp.where(valid[:, None], act_sums, 0.0), mode="drop")
+    spp = spp_map.at[idx].set(s0.astype(jnp.int32), mode="drop")
+    n = jnp.maximum(spp, 1).astype(jnp.float32)
+    img = full[:, :3] / n[:, None]
+    mean = full[:, 3] / n
+    var = jnp.maximum(0.0, (full[:, 4] / n - mean * mean)
+                      * (n / jnp.maximum(n - 1.0, 1.0)))
+    return img, spp, var / n
 
 
 _CKPT_VERSION = 1
@@ -165,7 +274,8 @@ def render_adaptive(scene, *, width: int, height: int,
                     pad_quantum: int = 1024,
                     return_variance: bool = False, mesh=None,
                     checkpoint_path: Optional[str] = None,
-                    checkpoint_every: int = 1, resume: bool = True):
+                    checkpoint_every: int = 1, resume: bool = True,
+                    accum: Optional[str] = None):
     """Render with per-pixel adaptive sample counts.
 
     Returns (linear image (H, W, 3) float32, spp map (H, W) int32);
@@ -183,6 +293,14 @@ def render_adaptive(scene, *, width: int, height: int,
         cfg = trace_mod.TraceConfig()
     if not 0 < min_spp <= max_spp:
         raise ValueError("need 0 < min_spp <= max_spp")
+    if accum is None:
+        accum = ("device" if (jax.default_backend() == "tpu"
+                              and mesh is None) else "host")
+    if accum not in ("host", "device"):
+        raise ValueError(f"accum must be 'host' or 'device', got {accum!r}")
+    if accum == "device" and mesh is not None:
+        raise ValueError("accum='device' is single-device; mesh sharding "
+                         "uses the host accumulation path")
     block_rows = (renderer_mod.pick_block_rows(scene)
                   if engine == "pallas" else 8)
     if mesh is not None:
@@ -213,7 +331,11 @@ def render_adaptive(scene, *, width: int, height: int,
     header = {"width": width, "height": height,
               "min_spp": min_spp, "max_spp": max_spp, "batch": batch,
               "rel_tol": rel_tol, "abs_tol": abs_tol,
-              "cfg_repr": repr(cfg), "go_camera": go_camera}
+              "cfg_repr": repr(cfg), "go_camera": go_camera,
+              # accum mode is pinned: a host-f64 prefix truncated to the
+              # device path's f32 (or vice versa) would not be
+              # bit-identical to an uninterrupted run of either mode
+              "accum": accum}
     if checkpoint_path:
         header["scene_sha"] = _scene_fingerprint(scene)
     import os as _os
@@ -246,6 +368,17 @@ def render_adaptive(scene, *, width: int, height: int,
             active = np.nonzero(np.asarray(hit_px))[0].astype(np.int64)
         else:
             active = np.arange(n_px, dtype=np.int64)
+
+    if accum == "device":
+        return _render_adaptive_device(
+            scene, sum_rgb=sum_rgb, sum_y=sum_y, sum_y2=sum_y2,
+            n_taken=n_taken, active=active, s0=s0, width=width,
+            height=height, cfg=cfg, min_spp=min_spp, max_spp=max_spp,
+            batch=batch, rel_tol=rel_tol, abs_tol=abs_tol,
+            go_camera=go_camera, engine=engine, block_rows=block_rows,
+            pad_quantum=pad_quantum, return_variance=return_variance,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every, header=header)
 
     def _flush():
         if checkpoint_path:
@@ -304,4 +437,92 @@ def render_adaptive(scene, *, width: int, height: int,
                          * (n / np.maximum(n - 1.0, 1.0)))
         out = out + ((var / n).astype(np.float32)
                      .reshape(height, width),)
+    return out
+
+
+def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
+                            active, s0, width, height, cfg, min_spp,
+                            max_spp, batch, rel_tol, abs_tol, go_camera,
+                            engine, block_rows, pad_quantum,
+                            return_variance, checkpoint_path,
+                            checkpoint_every, header):
+    """The accum="device" driver loop (state as resolved/resumed by
+    render_adaptive, host-f64 schema). Per round: one async dispatch; one
+    scalar pull on test rounds to shrink the pad bucket. Checkpoints pull
+    the state and write the SAME npz schema as the host path (f32 values
+    round-trip exactly through f64, so resume is bit-identical)."""
+    n_px = width * height
+    k_host = int(active.size)
+    k_pad = min(renderer_mod._pad_bucket(max(k_host, 1), pad_quantum), n_px)
+
+    ids_h = np.zeros(k_pad, np.uint32)
+    ids_h[:k_host] = active
+    sums_h = np.zeros((k_pad, 5), np.float32)
+    sums_h[:k_host, :3] = sum_rgb[active]
+    sums_h[:k_host, 3] = sum_y[active]
+    sums_h[:k_host, 4] = sum_y2[active]
+    full_h = np.concatenate(
+        [sum_rgb, sum_y[:, None], sum_y2[:, None]], axis=1
+    ).astype(np.float32)
+    full_h[active] = 0.0  # active rows live in act_sums until they drop
+    spp_h = n_taken.astype(np.int32)
+    spp_h[active] = 0
+
+    act_ids = jnp.asarray(ids_h)
+    act_sums = jnp.asarray(sums_h)
+    full_sums = jnp.asarray(full_h)
+    spp_map = jnp.asarray(spp_h)
+    k = jnp.int32(k_host)
+    s0 = int(s0)
+
+    def _flush():
+        if not checkpoint_path:
+            return
+        a_ids = np.asarray(act_ids)[:k_host].astype(np.int64)
+        a_sums = np.asarray(act_sums, np.float64)[:k_host]
+        f = np.asarray(full_sums, np.float64)
+        rgb = f[:, :3].copy()
+        y = f[:, 3].copy()
+        y2 = f[:, 4].copy()
+        rgb[a_ids] = a_sums[:, :3]
+        y[a_ids] = a_sums[:, 3]
+        y2[a_ids] = a_sums[:, 4]
+        nt = np.asarray(spp_map).astype(np.int64)
+        nt[a_ids] = s0
+        _save_ckpt(checkpoint_path, header,
+                   {"sum_rgb": rgb, "sum_y": y, "sum_y2": y2,
+                    "n_taken": nt, "active": a_ids, "s0": s0})
+
+    batches_done = 0
+    while k_host and s0 < max_spp:
+        b = int(min(batch, max_spp - s0))
+        do_test = (min_spp <= s0 + b < max_spp)
+        act_ids, act_sums, full_sums, spp_map, k = _device_round(
+            scene, act_ids, act_sums, full_sums, spp_map, k,
+            jnp.uint32(s0), width=width, height=height, batch=b, cfg=cfg,
+            go_camera=go_camera, engine=engine, block_rows=block_rows,
+            do_test=do_test, rel_tol=float(rel_tol),
+            abs_tol=float(abs_tol))
+        s0 += b
+        batches_done += 1
+        if do_test:
+            k_host = int(k)  # the one host sync per test round
+            nb = min(renderer_mod._pad_bucket(max(k_host, 1), pad_quantum),
+                     k_pad)
+            if nb < k_pad:
+                act_ids = act_ids[:nb]
+                act_sums = act_sums[:nb]
+                k_pad = nb
+        if checkpoint_path and batches_done % max(1, checkpoint_every) == 0:
+            _flush()
+
+    img_d, spp_d, var_d = _device_finish(act_ids, act_sums, full_sums,
+                                         spp_map, k, jnp.uint32(s0))
+    if checkpoint_path:
+        _flush()  # final state: a re-run resumes and returns immediately
+    img = np.asarray(img_d).reshape(height, width, 3)
+    spp = np.asarray(spp_d).astype(np.int32).reshape(height, width)
+    out = (img, spp)
+    if return_variance:
+        out = out + (np.asarray(var_d).reshape(height, width),)
     return out

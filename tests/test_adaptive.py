@@ -106,7 +106,9 @@ def test_adaptive_sharded_matches_single_device():
 def test_adaptive_pallas_engine_matches_jnp():
     """The engine='pallas' batch path (the TPU route) produces the same
     image as the jnp path - one tiny interpret-mode kernel call keeps
-    the plumbing honest without TPU hardware."""
+    the plumbing honest without TPU hardware. The device-accumulation
+    driver gets the same one-kernel-call check (min=max=batch: a single
+    _device_round, no test round)."""
     scene = _scene()
     cfg = trace_mod.TraceConfig(seed=0, max_depth=2, shadow_samples=1)
     kw = dict(width=8, height=6, cfg=cfg, min_spp=2, max_spp=2, batch=2,
@@ -115,6 +117,73 @@ def test_adaptive_pallas_engine_matches_jnp():
     img_p, spp_p = adaptive.render_adaptive(scene, engine="pallas", **kw)
     np.testing.assert_allclose(img_p, img_j, atol=1e-6, rtol=1e-6)
     np.testing.assert_array_equal(spp_j, spp_p)
+    img_d, spp_d = adaptive.render_adaptive(scene, engine="pallas",
+                                            accum="device", **kw)
+    np.testing.assert_allclose(img_d, img_j, atol=1e-6, rtol=1e-6)
+    np.testing.assert_array_equal(spp_d, spp_j)
+
+
+def test_adaptive_device_accum_matches_host():
+    """accum='device' (the TPU-resident driver: on-device f32 sums,
+    stderr test and compaction) agrees with the host-f64 oracle path to
+    float summation order; the convergence decisions match on this scene
+    (both are deterministic, so this is a real pin, not a flake)."""
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=3, shadow_samples=2)
+    kw = dict(width=W, height=H, cfg=cfg, min_spp=4, max_spp=16, batch=4,
+              rel_tol=0.05, abs_tol=1e-3, pad_quantum=64)
+    img_h, spp_h = adaptive.render_adaptive(scene, accum="host", **kw)
+    img_d, spp_d, var_d = adaptive.render_adaptive(
+        scene, accum="device", return_variance=True, **kw)
+    np.testing.assert_allclose(img_d, img_h, atol=1e-6, rtol=1e-5)
+    np.testing.assert_array_equal(spp_d, spp_h)
+    assert np.isfinite(var_d).all() and (var_d >= 0).all()
+    # tolerance-zero exactness holds for the device driver too
+    kw0 = dict(width=W, height=H, cfg=cfg, min_spp=8, max_spp=8, batch=4,
+               rel_tol=0.0, abs_tol=0.0, pad_quantum=64)
+    img0, spp0 = adaptive.render_adaptive(scene, accum="device", **kw0)
+    import jax.numpy as _jnp
+    ref = np.asarray(renderer_mod.render_band(
+        scene, _jnp.int32(0), width=W, height=H, band_h=H, samples=8,
+        cfg=cfg))
+    hit = spp0 > 0
+    assert (spp0[hit] == 8).all() and (img0[~hit] == 0.0).all()
+    np.testing.assert_allclose(img0, ref, atol=3e-5, rtol=1e-4)
+
+
+def test_adaptive_device_checkpoint_resume_is_exact(tmp_path, monkeypatch):
+    """Device-mode resume is bit-identical (f32 state round-trips exactly
+    through the f64 npz schema); host-mode checkpoints are rejected by a
+    device-mode resume and vice versa (the truncated prefix would not be
+    bit-identical to either uninterrupted run)."""
+    scene = _scene()
+    cfg = trace_mod.TraceConfig(seed=0, max_depth=3, shadow_samples=2)
+    kw = dict(width=W, height=H, cfg=cfg, min_spp=4, max_spp=16, batch=4,
+              rel_tol=0.05, abs_tol=1e-3, pad_quantum=64, accum="device")
+    ref_img, ref_spp = adaptive.render_adaptive(scene, **kw)
+
+    ckpt = str(tmp_path / "adaptive_dev.ckpt.npz")
+    real = adaptive._device_round
+    calls = {"n": 0}
+
+    def dying(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise KeyboardInterrupt
+        return real(*a, **k)
+
+    monkeypatch.setattr(adaptive, "_device_round", dying)
+    import pytest as _pytest
+    with _pytest.raises(KeyboardInterrupt):
+        adaptive.render_adaptive(scene, checkpoint_path=ckpt, **kw)
+    monkeypatch.setattr(adaptive, "_device_round", real)
+
+    img, spp = adaptive.render_adaptive(scene, checkpoint_path=ckpt, **kw)
+    np.testing.assert_array_equal(img, ref_img)
+    np.testing.assert_array_equal(spp, ref_spp)
+    with _pytest.raises(ValueError):
+        adaptive.render_adaptive(scene, checkpoint_path=ckpt,
+                                 **dict(kw, accum="host"))
 
 
 def test_adaptive_checkpoint_resume_is_exact(tmp_path, monkeypatch):
