@@ -144,19 +144,27 @@ def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
 
 @partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
                                    "go_camera", "engine", "block_rows",
-                                   "do_test", "rel_tol", "abs_tol"))
+                                   "do_test", "rel_tol", "abs_tol",
+                                   "k_use"))
 def _device_round(scene, act_ids, act_sums, full_sums, spp_map, k, s0, *,
                   width: int, height: int, batch: int,
                   cfg: trace_mod.TraceConfig, go_camera: bool, engine: str,
                   block_rows: int, do_test: bool, rel_tol: float,
-                  abs_tol: float):
+                  abs_tol: float, k_use: int = 0):
     """One batch: trace, accumulate, and (on test rounds) converge+compact.
 
     `k` and `s0` are traced scalars; `do_test` is static (the host knows
     s0, so the min_spp <= s0+batch < max_spp window is a compile-time
-    branch). Returns the updated state plus the surviving count.
+    branch). `k_use` (static, 0 = full) shrinks the working bucket INSIDE
+    the program: a host-side `act_ids[:nb]` slice would be its own device
+    execution — one more ~30 ms tunnel RPC per shrink round — while the
+    in-program slice is free. Returns the updated (k_use-sized) state
+    plus the surviving count.
     """
     n_px = full_sums.shape[0]
+    if k_use:
+        act_ids = act_ids[:k_use]
+        act_sums = act_sums[:k_use]
     k_pad = act_ids.shape[0]
     valid = jnp.arange(k_pad, dtype=jnp.int32) < k
 
@@ -275,7 +283,7 @@ def render_adaptive(scene, *, width: int, height: int,
                     return_variance: bool = False, mesh=None,
                     checkpoint_path: Optional[str] = None,
                     checkpoint_every: int = 1, resume: bool = True,
-                    accum: Optional[str] = None):
+                    accum: Optional[str] = None, as_numpy: bool = True):
     """Render with per-pixel adaptive sample counts.
 
     Returns (linear image (H, W, 3) float32, spp map (H, W) int32);
@@ -378,7 +386,8 @@ def render_adaptive(scene, *, width: int, height: int,
             go_camera=go_camera, engine=engine, block_rows=block_rows,
             pad_quantum=pad_quantum, return_variance=return_variance,
             checkpoint_path=checkpoint_path,
-            checkpoint_every=checkpoint_every, header=header)
+            checkpoint_every=checkpoint_every, header=header,
+            as_numpy=as_numpy)
 
     def _flush():
         if checkpoint_path:
@@ -437,6 +446,8 @@ def render_adaptive(scene, *, width: int, height: int,
                          * (n / np.maximum(n - 1.0, 1.0)))
         out = out + ((var / n).astype(np.float32)
                      .reshape(height, width),)
+    if not as_numpy:  # host-mode state is host-side; upload for API parity
+        out = tuple(jnp.asarray(a) for a in out)
     return out
 
 
@@ -445,7 +456,7 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
                             max_spp, batch, rel_tol, abs_tol, go_camera,
                             engine, block_rows, pad_quantum,
                             return_variance, checkpoint_path,
-                            checkpoint_every, header):
+                            checkpoint_every, header, as_numpy=True):
     """The accum="device" driver loop (state as resolved/resumed by
     render_adaptive, host-f64 schema). Per round: one async dispatch; one
     scalar pull on test rounds to shrink the pad bucket. Checkpoints pull
@@ -494,6 +505,7 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
                     "n_taken": nt, "active": a_ids, "s0": s0})
 
     batches_done = 0
+    k_use = 0  # pending bucket shrink, applied INSIDE the next round's jit
     while k_host and s0 < max_spp:
         b = int(min(batch, max_spp - s0))
         do_test = (min_spp <= s0 + b < max_spp)
@@ -502,7 +514,10 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
             jnp.uint32(s0), width=width, height=height, batch=b, cfg=cfg,
             go_camera=go_camera, engine=engine, block_rows=block_rows,
             do_test=do_test, rel_tol=float(rel_tol),
-            abs_tol=float(abs_tol))
+            abs_tol=float(abs_tol), k_use=k_use)
+        if k_use:
+            k_pad = k_use
+            k_use = 0
         s0 += b
         batches_done += 1
         if do_test:
@@ -510,9 +525,7 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
             nb = min(renderer_mod._pad_bucket(max(k_host, 1), pad_quantum),
                      k_pad)
             if nb < k_pad:
-                act_ids = act_ids[:nb]
-                act_sums = act_sums[:nb]
-                k_pad = nb
+                k_use = nb
         if checkpoint_path and batches_done % max(1, checkpoint_every) == 0:
             _flush()
 
@@ -520,6 +533,15 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
                                          spp_map, k, jnp.uint32(s0))
     if checkpoint_path:
         _flush()  # final state: a re-run resumes and returns immediately
+    if not as_numpy:
+        # Device-resident outputs for pipelines whose next stage (denoise,
+        # tonemap) runs on device: the (H,W,3) pull costs 150-350 ms
+        # through the tunnel and is pure waste mid-pipeline.
+        out = (img_d.reshape(height, width, 3),
+               spp_d.reshape(height, width))
+        if return_variance:
+            out = out + (var_d.reshape(height, width),)
+        return out
     img = np.asarray(img_d).reshape(height, width, 3)
     spp = np.asarray(spp_d).astype(np.int32).reshape(height, width)
     out = (img, spp)

@@ -52,10 +52,22 @@ def load(name):
 
 
 def run(scene, label, accum, **kw):
+    """Wall time per mode's natural product: host mode materializes the
+    image on host by construction; device mode hands the next pipeline
+    stage (denoise/tonemap) device-resident arrays, so it is synced with
+    ONE scalar checksum (the repo's bench methodology — a full 800x600
+    pull through the tunnel costs 150-350 ms and is pure waste
+    mid-pipeline)."""
     cfg = trace_mod.TraceConfig(max_depth=50)
-    call = lambda: adaptive_mod.render_adaptive(
-        scene, width=W, height=H, cfg=cfg, engine="pallas", accum=accum,
-        **kw)
+    dev = accum == "device"
+
+    def call():
+        out = adaptive_mod.render_adaptive(
+            scene, width=W, height=H, cfg=cfg, engine="pallas",
+            accum=accum, as_numpy=not dev, **kw)
+        if dev:
+            float(sum(a.astype("float32").sum() for a in out))  # sync
+        return out
     t0 = time.perf_counter()
     img, spp = call()
     first = time.perf_counter() - t0
@@ -64,6 +76,7 @@ def run(scene, label, accum, **kw):
         t0 = time.perf_counter()
         call()
         best = min(best, time.perf_counter() - t0)
+    img, spp = np.asarray(img), np.asarray(spp)
     print(f"{label:44s} accum={accum:6s} best {best:7.3f} s "
           f"(first {first:6.1f} s) mean spp {float(np.mean(spp)):5.1f}",
           flush=True)
