@@ -807,12 +807,16 @@ class Renderer:
                                and self._pallas_ok(scene, cfg))
                   else "jnp")
         t0 = time.perf_counter()
+        # as_numpy=False keeps the whole pipeline (sampler -> denoise ->
+        # effects -> tonemap) device-resident; only the uint8 image and
+        # the spp map cross to the host (a linear (H,W,3) f32 pull costs
+        # 150-350 ms through the tunneled TPU).
         linear, spp, var = adaptive_mod.render_adaptive(
             scene, width=width, height=height, cfg=cfg,
             min_spp=min(min_spp, self.samples), max_spp=self.samples,
             batch=batch or max(1, min(8, min_spp)), rel_tol=rel_tol,
             abs_tol=abs_tol, go_camera=self.go_camera, engine=engine,
-            return_variance=True)
+            return_variance=True, as_numpy=False)
         if denoise:
             linear = self._denoise_linear(scene, linear, width, height,
                                           variance=var)
@@ -821,6 +825,7 @@ class Renderer:
                                                height, scene_config)
         img = np.asarray(
             tonemap.to_rgb8(tonemap.tonemap(jnp.asarray(linear))))
+        spp = np.asarray(spp).astype(np.int32)
         # samples records the MEAN spp actually taken, not the cap
         self._fill_benchmark(scene, width, height,
                              time.perf_counter() - t0, float(spp.mean()))
@@ -828,13 +833,16 @@ class Renderer:
 
     def _denoise_linear(self, scene, linear, width: int, height: int,
                         variance=None):
-        """AOV-guided cross-bilateral filter on a linear image."""
+        """AOV-guided cross-bilateral filter on a linear image. Returns a
+        device array (the callers tonemap on device; pulling the filtered
+        f32 frame just to re-upload it would be two wasted transfers)."""
         from . import aov as aov_mod
         from . import denoising
         aovs = aov_mod.render_aovs(scene, width=width, height=height,
                                    go_camera=self.go_camera,
                                    as_numpy=False)
-        return denoising.denoise(linear, aovs, variance=variance)
+        return denoising.denoise(linear, aovs, variance=variance,
+                                 as_numpy=False)
 
     def _primary_depth(self, scene, width: int, height: int):
         """Per-pixel center-ray hit distance (BIG on miss) for fog/DoF."""

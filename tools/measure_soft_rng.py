@@ -79,7 +79,7 @@ def bench_scene(name: str, batch: int = 8, reps: int = 3) -> float:
     with open(os.path.join(ASSETS, name)) as f:
         data = json.load(f)
     data["camera"]["position"][2] = abs(data["camera"]["position"][2])
-    scene, _ = rt.scene_from_dict(data)
+    scene, _ = rt.scene_from_dict(data, base_dir=ASSETS)
     r = rt.Renderer()
     r.set_samples(SPP)
     r.set_max_depth(DEPTH)
