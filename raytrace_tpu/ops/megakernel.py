@@ -71,6 +71,14 @@ def _env_no_fused_soft() -> bool:
     return os.environ.get("RT_NO_FUSED_SOFT", "") == "1"
 
 
+def _env_soft_prim() -> bool:
+    """RT_SOFT_PRIM=0 reverts unroll mode to the ungated sample-outer
+    soft-shadow loop (A/B knob vs. the guarded primitive-outer loop;
+    read at trace time - set before the first render of the process)."""
+    import os
+    return os.environ.get("RT_SOFT_PRIM", "1") != "0"
+
+
 def scene_fits_kernel(scene) -> bool:
     ns = scene.geometry.sph_center.shape[0]
     nt = scene.geometry.tri_v0.shape[0]
@@ -740,6 +748,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
 
         if mode == "bvh":
             soft_guard_fn = None  # the fused cone walk subsumes the guard
+            soft_prim_sets_fn = None
             # ---- packet BVH walk over the scene tree in SMEM ----------
             iv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
 
@@ -1423,6 +1432,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         elif loop_mode:
             soft_fused_fn = None
             soft_guard_fn = None
+            soft_prim_sets_fn = None
 
             def closest_fn(ox, oy, oz, dx, dy, dz, alive_f):
                 return closest_hit_loop(sph, tri, pln, box, ox, oy, oz,
@@ -1455,29 +1465,33 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 return any_hit_pre(pre[0], pre[1], pre[2], pre[3],
                                    pln, tri, ddx, ddy, ddz, tmax)
 
-            def soft_guard_fn(pre, need_f, ldx, ldy, ldz, dist):
-                """Scalar per-block guard: can ANY primitive block ANY of
-                the jittered soft-shadow rays of any needing lane?
+            def soft_prim_sets_fn(pre, need_f, ldx, ldy, ldz, dist):
+                """Per-occluder (can, test) pairs for the guarded
+                primitive-outer soft loop.
 
-                Interval arithmetic on the sphere quadratic: every
-                jittered unit direction sd satisfies |sd.oc - ld.oc| <=
-                0.10013*|oc| (chord of the asin(0.1) cone; 0.102 used
-                for margin), so u = sd.oc lies in [u_lo, u_hi]. A sample
-                reports 'blocked' only if the quadratic
-                t^2 + 2ut + cc = 0 has a root in [t_min, dist]; the
-                largest positive root over the interval is
+                `can` is the per-lane conservative interval guard for ONE
+                occluder - interval arithmetic on the sphere quadratic:
+                every jittered unit direction sd satisfies
+                |sd.oc - ld.oc| <= 0.10013*|oc| (chord of the asin(0.1)
+                cone; 0.102 used for margin), so u = sd.oc lies in
+                [u_lo, u_hi]. A sample reports 'blocked' only if the
+                quadratic t^2 + 2ut + cc = 0 has a root in [t_min, dist];
+                the largest positive root over the interval is
                 -u_lo + sqrt(u_lo^2 - cc), so the guard can prove every
-                verdict is 'unblocked' (sf = 1 BIT-EXACT - cc here IS
-                the cc the sample tests use, from the same sph_pre).
-                One test per primitive vs the 16-sample loop's 16; the
-                win is every block fully in the open. Triangles are
+                verdict is 'unblocked' BIT-EXACT (cc here IS the cc the
+                sample tests use, from the same sph_pre). Triangles are
                 covered by bounding spheres, planes by point-to-plane
-                distance <= dist."""
+                distance <= dist.
+
+                `test(sdx, sdy, sdz, aux)` replicates any_hit_pre's
+                per-primitive blocked expression bit-for-bit; aux is the
+                hoisted per-sample direction terms (a, inv_a, ivx, ivy,
+                ivz). Skipping an occluder whose can is all-zero leaves
+                every NEEDING lane's per-sample verdict unchanged."""
                 sph_pre, tri_pre, pl_pre, box_pre, (hpx, hpy, hpz) = pre
                 eps_t = np.float32(1e-4)
                 eps_cc = np.float32(1e-4)
                 cone = np.float32(0.102)
-                can = jnp.zeros(need_f.shape)
 
                 def sphere_guard(ocx, ocy, ocz, cc, r):
                     oc2 = cc + r * r
@@ -1496,10 +1510,23 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     return jnp.where(need_f * jnp.where(hit, 1.0, 0.0)
                                      > 0.0, 1.0, 0.0)
 
+                sets = []
                 for j, (ocx, ocy, ocz, cc) in enumerate(sph_pre):
-                    can = jnp.maximum(
-                        can, sphere_guard(ocx, ocy, ocz, cc, sph[3, j]))
-                for j in range(len(tri_pre)):
+                    def sph_test(sdx, sdy, sdz, aux,
+                                 ocx=ocx, ocy=ocy, ocz=ocz, cc=cc):
+                        half_b = ocx * sdx + ocy * sdy + ocz * sdz
+                        disc = half_b * half_b - aux[0] * cc
+                        ok = disc >= 0.0
+                        sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+                        r0 = (-half_b - sq) * aux[1]
+                        r1 = (-half_b + sq) * aux[1]
+                        return ok & (((r0 >= t_min) & (r0 <= dist))
+                                     | ((r1 >= t_min) & (r1 <= dist)))
+                    sets.append((sphere_guard(ocx, ocy, ocz, cc,
+                                              sph[3, j]), sph_test))
+                for j, row in enumerate(tri_pre):
+                    (c1x, c1y, c1z, qx, qy, qz, e2q,
+                     n2x, n2y, n2z) = row
                     # triangle bounding sphere: scalar centroid m =
                     # v0 + (e1+e2)/3 and max-vertex radius; the per-lane
                     # oc shifts s = p - v0 by (m - v0). (s is no longer
@@ -1521,9 +1548,23 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     br = jnp.sqrt(jnp.maximum(d0, jnp.maximum(d1, d2)))
                     ocx, ocy, ocz = sx - mx, sy - my, sz - mz
                     oc2 = ocx * ocx + ocy * ocy + ocz * ocz
-                    can = jnp.maximum(
-                        can, sphere_guard(ocx, ocy, ocz, oc2 - br * br,
-                                          br))
+
+                    def tri_test(sdx, sdy, sdz, aux,
+                                 c1x=c1x, c1y=c1y, c1z=c1z,
+                                 qx=qx, qy=qy, qz=qz, e2q=e2q,
+                                 n2x=n2x, n2y=n2y, n2z=n2z):
+                        det = -(sdx * n2x + sdy * n2y + sdz * n2z)
+                        sg = jnp.where(det >= 0.0, 1.0, -1.0)
+                        ad = det * sg
+                        au = (sdx * c1x + sdy * c1y + sdz * c1z) * sg
+                        av = (sdx * qx + sdy * qy + sdz * qz) * sg
+                        at = e2q * sg
+                        return ((ad >= 1e-6) & (au >= 0.0) & (av >= 0.0)
+                                & (au + av <= ad) & (at >= t_min * ad)
+                                & (at <= dist * ad))
+                    sets.append((sphere_guard(ocx, ocy, ocz,
+                                              oc2 - br * br, br),
+                                 tri_test))
                 for j in range(nb):
                     # box occluder -> bounding sphere (scalar center +
                     # half-diagonal radius from the table)
@@ -1536,14 +1577,44 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     br = jnp.sqrt(ex * ex + ey * ey + ez * ez)
                     ocx, ocy, ocz = hpx - bcx, hpy - bcy, hpz - bcz
                     oc2 = ocx * ocx + ocy * ocy + ocz * ocz
-                    can = jnp.maximum(
-                        can, sphere_guard(ocx, ocy, ocz, oc2 - br * br,
-                                          br))
-                for num in pl_pre:
-                    hit = jnp.abs(num) <= dist + eps_cc
-                    can = jnp.maximum(
-                        can, jnp.where(need_f * jnp.where(hit, 1.0, 0.0)
-                                       > 0.0, 1.0, 0.0))
+                    blx, bly, blz, bhx, bhy, bhz = box_pre[j]
+
+                    def box_test(sdx, sdy, sdz, aux,
+                                 blx=blx, bly=bly, blz=blz,
+                                 bhx=bhx, bhy=bhy, bhz=bhz):
+                        near, far = _slab_near_far(blx, bly, blz,
+                                                   bhx, bhy, bhz,
+                                                   aux[2], aux[3], aux[4])
+                        return ((near <= far)
+                                & (((near >= t_min) & (near <= dist))
+                                   | ((far >= t_min) & (far <= dist))))
+                    sets.append((sphere_guard(ocx, ocy, ocz,
+                                              oc2 - br * br, br),
+                                 box_test))
+                for j, num in enumerate(pl_pre):
+                    hitp = jnp.abs(num) <= dist + eps_cc
+                    canp = jnp.where(need_f * jnp.where(hitp, 1.0, 0.0)
+                                     > 0.0, 1.0, 0.0)
+
+                    def pln_test(sdx, sdy, sdz, aux, j=j, num=num):
+                        denom = (sdx * pln[3, j] + sdy * pln[4, j]
+                                 + sdz * pln[5, j])
+                        para = denom == 0.0
+                        tj = num / jnp.where(para, 1.0, denom)
+                        return (~para) & (tj >= t_min) & (tj <= dist)
+                    sets.append((canp, pln_test))
+                return sets
+
+            def soft_guard_fn(pre, need_f, ldx, ldy, ldz, dist):
+                """Scalar per-block guard: can ANY primitive block ANY of
+                the jittered soft-shadow rays of any needing lane? One
+                test per primitive vs the 16-sample loop's 16; the win is
+                every block fully in the open. (The per-primitive guard
+                terms live in soft_prim_sets_fn - this is their OR.)"""
+                can = jnp.zeros(need_f.shape)
+                for c, _ in soft_prim_sets_fn(pre, need_f,
+                                              ldx, ldy, ldz, dist):
+                    can = jnp.maximum(can, c)
                 return jnp.max(can) > 0.0
 
         def cond(c):
@@ -1697,13 +1768,14 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         # block whose live lanes are all hard-blocked or
                         # back-facing can skip it with exact parity.
                         need = alive2 & ~hard & (cos_t > 0.0)
+                        need_f = jnp.where(need, 1.0, 0.0)
                         # Hard-blocked lanes' soft results are discarded
                         # (sf = where(hard, 0, soft_sf)), so the soft
                         # walks run with the tighter `need` mask.
-                        lctx_s = occl_light_fn(
-                            occl_pre, jnp.where(need, 1.0, 0.0),
-                            lx, ly, lz, dist)
+                        lctx_s = occl_light_fn(occl_pre, need_f,
+                                               lx, ly, lz, dist)
 
+                        prim_sets = None
                         if (soft_fused_fn is not None
                                 and shadow_samples <= 24
                                 and not _env_no_fused_soft()):
@@ -1713,6 +1785,73 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                             _soft = lambda _: soft_fused_fn(
                                 occl_pre, need, ldx, ldy, ldz, dist,
                                 bounce.astype(jnp.uint32), li)
+                        elif (soft_prim_sets_fn is not None
+                                and _env_soft_prim()):
+                            prim_sets = soft_prim_sets_fn(
+                                occl_pre, need_f, ldx, ldy, ldz, dist)
+
+                            def _soft(_):
+                                # Guarded primitive-outer loop: hoist the
+                                # jittered directions (and their
+                                # direction-only terms) once, then OR
+                                # per-sample verdicts only for occluders
+                                # whose interval guard says they might
+                                # block SOME needing lane (~90% of
+                                # (block, prim, light) pairs skip on
+                                # mesh scenes). Verdict equality on
+                                # needing lanes <- guard conservativeness
+                                # (soft_prim_sets_fn docstring); the sum
+                                # runs in the same s-ascending order as
+                                # the sample-outer loop, so sf is
+                                # bit-identical.
+                                dirs = []
+                                for s in range(shadow_samples):
+                                    stream = (bounce.astype(jnp.uint32)
+                                              * np.uint32(
+                                                  rng.STREAMS_PER_BOUNCE)
+                                              + np.uint32(
+                                                  rng.shadow_stream(
+                                                      li, s,
+                                                      shadow_samples)))
+                                    bx, by, bz = _unit_ball(
+                                        pix, samp, stream, seed)
+                                    sdx, sdy, sdz = _norm3(
+                                        ldx + 0.1 * bx, ldy + 0.1 * by,
+                                        ldz + 0.1 * bz)
+                                    a_s = (sdx * sdx + sdy * sdy
+                                           + sdz * sdz)
+                                    aux = [a_s, 1.0 / a_s,
+                                           None, None, None]
+                                    if nb:
+                                        aux[2] = 1.0 / jnp.where(
+                                            sdx == 0.0, 1e-30, sdx)
+                                        aux[3] = 1.0 / jnp.where(
+                                            sdy == 0.0, 1e-30, sdy)
+                                        aux[4] = 1.0 / jnp.where(
+                                            sdz == 0.0, 1e-30, sdz)
+                                    dirs.append((sdx, sdy, sdz,
+                                                 tuple(aux)))
+                                accs = tuple(
+                                    jnp.zeros(px.shape)
+                                    for _ in range(shadow_samples))
+                                for can, test in prim_sets:
+                                    def hit_all(acc_t, test=test):
+                                        return tuple(
+                                            jnp.maximum(
+                                                acc_t[s],
+                                                jnp.where(
+                                                    test(*dirs[s]),
+                                                    1.0, 0.0))
+                                            for s in range(
+                                                shadow_samples))
+                                    accs = jax.lax.cond(
+                                        jnp.max(can) > 0.0, hit_all,
+                                        lambda a_: a_, accs)
+                                unblocked = jnp.zeros(px.shape)
+                                for s in range(shadow_samples):
+                                    unblocked += 1.0 - accs[s]
+                                return unblocked * np.float32(
+                                    1.0 / shadow_samples)
                         else:
                             def _soft(_):
                                 unblocked = jnp.zeros(px.shape)
@@ -1735,8 +1874,15 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                 return unblocked * np.float32(
                                     1.0 / shadow_samples)
 
-                        need_f = jnp.where(need, 1.0, 0.0)
-                        if soft_guard_fn is not None:
+                        if prim_sets is not None:
+                            # Block guard = OR of the per-prim guards
+                            # (identical math to soft_guard_fn, computed
+                            # once on the shared sets).
+                            canm = jnp.zeros(need_f.shape)
+                            for c, _ in prim_sets:
+                                canm = jnp.maximum(canm, c)
+                            run = jnp.max(canm) > 0.0
+                        elif soft_guard_fn is not None:
                             # Conservative interval guard: when no
                             # primitive can put a root in any needing
                             # lane's [t_min, dist] for ANY cone

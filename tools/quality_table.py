@@ -93,14 +93,21 @@ def main():
     rows = []
 
     def add_denoised(name, img, var, spp, cost_ms):
+        """Denoise cost: device-resident, scalar-checksum sync, AFTER a
+        warm-up call per variance-arity (the first jit of each shape set
+        once contaminated the 'fixed 4 + denoise' row with an 11 s
+        compile)."""
+        img_j = jnp.asarray(img)
+        var_j = None if var is None else jnp.asarray(var)
+        run = lambda: denoising_mod.denoise(img_j, aovs, variance=var_j,
+                                            as_numpy=False)
+        float(jnp.sum(run()))  # warm
         t0 = time.perf_counter()
-        img_d = denoising_mod.denoise(
-            jnp.asarray(img), aovs,
-            variance=None if var is None else jnp.asarray(var),
-            as_numpy=True)
+        img_d = run()
+        float(jnp.sum(img_d))
         dt = (time.perf_counter() - t0) * 1e3
         rows.append((f"{name} + denoise", spp, cost_ms + dt,
-                     psnr(disp(img_d), gt)))
+                     psnr(disp(np.asarray(img_d)), gt)))
 
     for spp in (2, 4, 8, 16, 25, 50, 100):
         img, ms = fixed(scene, spp)
@@ -109,13 +116,21 @@ def main():
             add_denoised(f"fixed {spp} spp", img, None, spp, ms)
 
     for mins, maxs, tol in ((4, 64, 0.05), (4, 64, 0.02), (8, 100, 0.02)):
+        # as_numpy=False + one scalar checksum: the same device-resident
+        # sync discipline as the fixed rows (frame(True) + jnp.sum), so
+        # the cost columns compare like for like. Arrays are pulled for
+        # PSNR after the clock stops.
         kw = dict(width=W, height=H, cfg=cfg, min_spp=mins, max_spp=maxs,
                   batch=2 * mins, rel_tol=tol, engine="pallas",
-                  return_variance=True)
+                  return_variance=True, as_numpy=False)
         adaptive_mod.render_adaptive(scene, **kw)   # compile/warm
         t0 = time.perf_counter()
         img_a, spp_map, var = adaptive_mod.render_adaptive(scene, **kw)
+        float(jnp.sum(img_a) + jnp.sum(var)
+              + jnp.sum(spp_map.astype(jnp.float32)))
         t_a = (time.perf_counter() - t0) * 1e3
+        img_a, spp_map, var = (np.asarray(img_a), np.asarray(spp_map),
+                               np.asarray(var))
         mean_spp = float(np.mean(spp_map))
         name = f"adaptive {mins}..{maxs} tol={tol}"
         rows.append((name, mean_spp, t_a, psnr(disp(img_a), gt)))
