@@ -585,6 +585,52 @@ def test_soft_guard_giant_ground_matches_oracle():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_soft_prim_outer_matches_sample_outer(monkeypatch):
+    """The guarded primitive-outer soft loop (RT_SOFT_PRIM=1, the unroll
+    default) must be bit-identical to the ungated sample-outer loop: the
+    per-prim interval guard may only skip occluders that cannot block any
+    needing lane's jitter cone, and the per-sample verdict OR accumulates
+    in the same s-ascending order. Scene covers all four occluder kinds
+    (sphere incl. giant ground, box, triangle via prism faces, plane)."""
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 1.5, 7], "aspectRatio": 1.33},
+        "objects": [
+            {"type": "sphere", "position": [0, -1000.5, 0],
+             "radius": 1000,
+             "material": {"type": "lambertian", "color": [0.5, 0.5, 0.5]}},
+            {"type": "sphere", "position": [-1.6, 0.2, 0.5], "radius": 0.6,
+             "material": {"type": "metal", "color": [0.8, 0.8, 0.9],
+                          "roughness": 0.1}},
+            {"type": "cube", "position": [1.2, 0.2, -0.5], "size": [1] * 3,
+             "material": {"type": "lambertian", "color": [0.8, 0.2, 0.2]}},
+            {"type": "triangularprism",
+             "vertices": [[-0.4, 0.0, 1.9], [0.4, 0.0, 1.9],
+                          [0.0, 0.8, 1.9], [-0.4, 0.0, 1.1],
+                          [0.4, 0.0, 1.1], [0.0, 0.8, 1.1]],
+             "material": {"type": "glass", "color": [0.9, 0.9, 1.0]}},
+            {"type": "plane", "position": [0, 0, -6], "normal": [0, 0, 1],
+             "material": {"type": "lambertian", "color": [0.3, 0.4, 0.5]}},
+        ],
+        "lights": [
+            {"type": "point", "position": [2, 8, 3], "color": [1, 1, 1],
+             "intensity": 3.0},
+            {"type": "point", "position": [-4, 3, 4],
+             "color": [0.9, 0.9, 1], "intensity": 1.0},
+        ]})
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=4)
+    o, d, pix, samp = _lanes(s, 8, 6, 1, cfg)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg))
+    assert np.max(ref) > 0.0
+    monkeypatch.setenv("RT_SOFT_PRIM", "1")
+    out_prim = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                          interpret=True))
+    monkeypatch.setenv("RT_SOFT_PRIM", "0")
+    out_samp = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                          interpret=True))
+    np.testing.assert_array_equal(out_prim, out_samp)
+    np.testing.assert_allclose(out_prim, ref, atol=1e-4)
+
+
 def test_wide_bvh_walk_matches_binary_and_oracle(monkeypatch):
     """The 4-ary stack walk (WideBVH4, closest_fn_wide) must reproduce
     the binary skip walk on a deep tree (leaf_size 4, 81 prims incl.

@@ -33,7 +33,7 @@ def bench_scene(name: str, batch: int = 32, reps: int = 3) -> float:
     with open(os.path.join(ASSETS, name)) as f:
         data = json.load(f)
     data["camera"]["position"][2] = abs(data["camera"]["position"][2])
-    scene, _ = rt.scene_from_dict(data)
+    scene, _ = rt.scene_from_dict(data, base_dir=ASSETS)
     r = rt.Renderer()
     r.set_samples(SPP)
     r.set_max_depth(DEPTH)
@@ -63,6 +63,6 @@ if __name__ == "__main__":
     scenes = sys.argv[1:] or ["two_red_cubes_scene.json",
                               "sphere_reflections_light.json"]
     for name in scenes:
-        batch = 8 if "cubes" in name else 32
+        batch = 8 if "cubes" in name else (4 if "mesh" in name else 32)
         ms = bench_scene(name, batch=batch) * 1e3
         print(f"{name}: {ms:.1f} ms/frame")
