@@ -74,18 +74,29 @@ def intersect_rays(scene, rays: RayBatch, t_min: float = 1e-3):
 
 
 def shade_hits(scene, rays: RayBatch, hit, bounce: int = 0, *,
-               cfg: Optional[trace_mod.TraceConfig] = None) -> ShadeResult:
+               cfg: Optional[trace_mod.TraceConfig] = None,
+               throughput=None, radiance=None,
+               alive=None) -> ShadeResult:
     """Stage 3: one shading evaluation (shade stage,
     render_pipeline.go:167-180) - emitted + tier-weighted direct light,
-    plus the scattered continuation rays for the next pipeline round."""
+    plus the scattered continuation rays for the next pipeline round.
+
+    throughput/radiance/alive carry the wavefront state between bounce
+    rounds (defaults = a fresh bounce-0 wavefront). `hit` is the intersect
+    stage's output for `rays` and is NOT recomputed here - breaking the
+    intersect stage breaks shading, as a real pipeline requires.
+    """
     cfg = cfg or trace_mod.TraceConfig()
     st = trace_mod._State(
         origin=rays.origin, direction=rays.direction,
-        throughput=jnp.ones_like(rays.origin),
-        radiance=jnp.zeros_like(rays.origin),
-        alive=jnp.ones(rays.origin.shape[:-1], bool))
+        throughput=(jnp.ones_like(rays.origin)
+                    if throughput is None else throughput),
+        radiance=(jnp.zeros_like(rays.origin)
+                  if radiance is None else radiance),
+        alive=(jnp.ones(rays.origin.shape[:-1], bool)
+               if alive is None else alive))
     out = trace_mod._bounce_body(scene, rays.pix_id, rays.samp_id, cfg,
-                                 jnp.int32(bounce), st)
+                                 jnp.int32(bounce), st, hit=hit)
     return ShadeResult(
         radiance=out.radiance,
         throughput=out.throughput,
@@ -107,10 +118,15 @@ def run_pipeline(scene, *, width: int, height: int, samples: int,
                  go_camera: bool = True):
     """Drive the staged pipeline to a full image.
 
-    Equivalent to trace.trace for depth = cfg.max_depth (the staged loop
-    carries throughput/radiance between shade rounds), assembled to
-    (H, W, 3). Useful as an inspectable reference; slower than the fused
-    engines by design.
+    A REAL per-bounce stage loop - generate once, then up to
+    cfg.max_depth rounds of intersect_rays -> shade_hits with
+    throughput/radiance/alive carried through ShadeResult, then
+    assemble. Equivalent to trace.trace (same bounce math, the intersect
+    stage feeding the shade stage explicitly); each stage crosses HBM,
+    so it is slower than the fused engines by design - its value is
+    inspectability (every stage's output is a plain array) and being the
+    working form of the reference's stub pipeline
+    (render_pipeline.go:33-97).
     """
     cfg = cfg or trace_mod.TraceConfig()
     n_px = width * height
@@ -118,9 +134,20 @@ def run_pipeline(scene, *, width: int, height: int, samples: int,
     samp = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
     rays = generate_rays(scene, pix, samp, width=width, height=height,
                          cfg=cfg, go_camera=go_camera)
-    rad = trace_mod.trace(scene, rays.origin, rays.direction, pix, samp,
-                          cfg)
-    return assemble_image(rad, width=width, height=height,
+    throughput = radiance = alive = None
+    cur = rays
+    for bounce in range(cfg.max_depth):
+        hit = intersect_rays(scene, cur)
+        sh = shade_hits(scene, cur, hit, bounce=bounce, cfg=cfg,
+                        throughput=throughput, radiance=radiance,
+                        alive=alive)
+        throughput, radiance, alive = sh.throughput, sh.radiance, sh.alive
+        cur = sh.next_rays
+        # Host-visible early exit: fine for an inspectable driver (the
+        # fused engines keep this test on device).
+        if not bool(jnp.any(alive)):
+            break
+    return assemble_image(radiance, width=width, height=height,
                           samples=samples)
 
 

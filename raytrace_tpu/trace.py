@@ -75,15 +75,23 @@ jax.tree_util.register_dataclass(
                          "alive"], meta_fields=[])
 
 
-def _bounce_body(scene, pix_id, samp_id, cfg: TraceConfig, bounce, st: _State):
-    """One shading iteration of the wavefront."""
+def _bounce_body(scene, pix_id, samp_id, cfg: TraceConfig, bounce, st: _State,
+                 hit=None):
+    """One shading iteration of the wavefront.
+
+    hit: optional precomputed intersect.Hit for (st.origin, st.direction)
+    (t_min=1e-3). The staged pipeline (pipeline.py) computes the intersect
+    stage separately and passes it in; when None the body runs its own
+    closest-hit (the fused engines).
+    """
     geom, mats, lights = scene.geometry, scene.materials, scene.lights
     # Optional scene BVH (scene.Scene.accel): same hit results, walked
     # instead of scanned. Built at load for scenes past bvh.BVH_THRESHOLD.
     accel = getattr(scene, "accel", None)
 
-    hit = intersect.closest_hit(geom, st.origin, st.direction, t_min=1e-3,
-                                accel=accel)
+    if hit is None:
+        hit = intersect.closest_hit(geom, st.origin, st.direction,
+                                    t_min=1e-3, accel=accel)
     alive = st.alive & hit.hit
 
     # Keep dead-lane geometry finite so masked math cannot overflow.
