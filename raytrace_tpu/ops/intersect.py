@@ -24,8 +24,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-
-BIG = jnp.float32(3.0e38)  # sentinel "no hit" distance (< f32 inf to keep math finite)
+import numpy as np  # noqa: E402  (BIG must not touch the backend at import)
+BIG = np.float32(3.0e38)  # sentinel "no hit" distance (< f32 inf to keep math finite)
 
 
 class Hit(NamedTuple):

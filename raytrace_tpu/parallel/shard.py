@@ -218,6 +218,15 @@ def render_linear_sharded(scene, width: int, height: int, *, samples: int,
                                    height=height, band_h=bh, samples=samples,
                                    cfg=cfg, mesh=mesh, go_camera=go_camera)
         bands.append((y0, band))
+    multi_host = jax.process_count() > 1
     for y0, band in bands:
+        if multi_host:
+            # The band is row-sharded across PROCESSES: this host cannot
+            # address remote shards, so gather the full band explicitly
+            # (the working form of the reference's result-channel
+            # assembly, distributed_renderer.go:180-195 — here one
+            # all-gather over the cluster fabric).
+            from jax.experimental import multihost_utils
+            band = multihost_utils.process_allgather(band, tiled=True)
         out[y0:y0 + bh] = np.asarray(band)
     return out

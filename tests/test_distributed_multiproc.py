@@ -1,0 +1,111 @@
+"""REAL multi-process jax.distributed execution (2-process CPU cluster).
+
+The reference's distributed renderer was an HTTP stub whose server slept
+100ms and returned empty pixels (distributed_renderer.go:258-283). Its
+working TPU-native analog (parallel/distributed.py) had — through round 3
+— only ever run single-process on virtual devices. This test spawns a
+2-process jax.distributed CPU cluster on localhost (gloo collectives) and
+executes the real multi-host branch end to end:
+
+  * parallel.distributed.initialize with an explicit coordinator;
+  * NodeStatus.collect() with process_count == 2;
+  * heartbeat() — a cross-PROCESS psum proving fabric liveness;
+  * DistributedRenderer.render_linear — pixel-sharded over the global
+    4-device mesh, with the cross-process band gather;
+  * one sharded differentiable step (grad w.r.t. light intensity).
+
+The parent verifies the gathered image equals a single-process render
+bit-for-bit (sharding invariance of the counter RNG).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import raytrace_tpu as rt
+from raytrace_tpu import trace as trace_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tools", "dist_worker.py")
+
+SCENE_DICT = {
+    "camera": {"position": [0, 0, 8], "lookAt": [0, 0, 0],
+               "up": [0, 1, 0], "fov": 45, "aspectRatio": 1.333},
+    "objects": [
+        {"type": "sphere", "position": [0, 0, 0], "radius": 1.5,
+         "material": {"type": "lambertian", "albedo": [0.8, 0.3, 0.3]}},
+        {"type": "sphere", "position": [2, 0.5, -1], "radius": 0.8,
+         "material": {"type": "metal", "albedo": [0.9, 0.9, 0.9],
+                      "roughness": 0.1, "metallic": 0.9}},
+    ],
+    "lights": [{"type": "point", "position": [5, 5, 5],
+                "color": [1, 1, 1], "intensity": 2.0}],
+}
+W, H, SPP = 32, 24, 2
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env() -> dict:
+    env = dict(os.environ)
+    # A hung tunnel can block interpreter start while the axon plugin is
+    # registered (see .claude/skills/verify); the workers are pure-CPU.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONHASHSEED"] = "0"
+    return env
+
+
+def test_two_process_cluster_renders(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    out_npz = str(tmp_path / "proc0.npz")
+
+    env = _worker_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, "2", str(i), out_npz],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outs[i]}"
+
+    z = np.load(out_npz)
+    assert int(z["process_count"]) == 2
+    assert int(z["global_devices"]) == 4  # 2 procs x 2 forced cpu devices
+    # heartbeat: every process contributed exactly once
+    np.testing.assert_allclose(z["hb"], np.ones(2), atol=0)
+    assert np.isfinite(z["grad"]).all() and abs(float(z["grad"][0])) > 0
+
+    # The cluster's pixel-sharded render must equal a single-process
+    # render bit-for-bit (counter RNG => sharding invariance).
+    scene, _ = rt.scene_from_dict(SCENE_DICT)
+    r = rt.Renderer()
+    r.engine, r.samples, r.max_depth = "jnp", SPP, 3
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+    from raytrace_tpu import renderer as renderer_mod
+    import jax.numpy as jnp
+    ref = np.asarray(renderer_mod.render_band(
+        scene, jnp.int32(0), width=W, height=H, band_h=H, samples=SPP,
+        cfg=cfg))
+    np.testing.assert_allclose(z["img"], ref, atol=1e-6)
