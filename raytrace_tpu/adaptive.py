@@ -34,6 +34,14 @@ the Pallas megakernel. Two accumulation modes:
 
 Default is host off-TPU (the f64 oracle semantics) and device on TPU,
 where the host path's per-batch transfers dominate wall time.
+
+Both modes and both engines compose with a device mesh (round 4): the
+trace stage fans the active set over the mesh (_batch_sums_sharded, a
+shard_map whose shards each run the jnp wavefront or the Pallas
+megakernel on their slice of the compacted active set), while
+accumulation, the convergence test and the compaction stay global.
+Because every active row's sums are computed whole on one device, the
+spp DECISIONS are bit-identical to the unsharded run in either mode.
 """
 from __future__ import annotations
 
@@ -94,36 +102,49 @@ def _sample_batch(scene, pix_pad, s0, *, width: int, height: int,
                        engine=engine, block_rows=block_rows)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
-                                   "go_camera", "mesh"))
-def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
-                          batch: int, cfg: trace_mod.TraceConfig,
-                          go_camera: bool, mesh):
-    """_sample_batch with the pixel axis sharded over every mesh device.
+def _batch_sums_sharded(scene, pix_pad, s0, *, width: int, height: int,
+                        batch: int, cfg: trace_mod.TraceConfig,
+                        go_camera: bool, engine: str, block_rows: int,
+                        mesh):
+    """_batch_sums with the pixel axis sharded over every mesh device.
 
     Each pixel's whole sample batch stays on one device, so the per-pixel
     sums are bit-identical to the unsharded path (the RNG keys by
-    (pixel, sample), never by placement)."""
+    (pixel, sample), never by placement). engine="pallas" runs the
+    megakernel per device (the adaptive driver already hands it a
+    pixel-compacted active set, so each shard is a compacted wavefront).
+    """
     from jax.sharding import PartitionSpec as P
 
     axes = tuple(mesh.axis_names)
 
-    def local(scene, pix_l):
-        k = pix_l.shape[0]
-        pix = jnp.repeat(pix_l, batch)
-        samp = jnp.tile(jnp.arange(batch, dtype=jnp.uint32), k) + s0
-        rad = renderer_mod.lane_radiance(scene, pix, samp, width=width,
-                                         height=height, cfg=cfg,
-                                         go_camera=go_camera)
-        rad = rad.reshape(k, batch, 3)
-        luma = rad @ jnp.asarray(_LUMA, rad.dtype)
-        return rad.sum(axis=1), luma.sum(axis=1), (luma * luma).sum(axis=1)
+    def local(scene, pix_l, s0_l):
+        return _batch_sums(scene, pix_l, s0_l, width=width, height=height,
+                           batch=batch, cfg=cfg, go_camera=go_camera,
+                           engine=engine, block_rows=block_rows)
 
+    # check_vma=False: the Pallas engine's out_shapes carry no
+    # varying-axes metadata (same reason as shard.render_wavefront_sharded).
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(axes)),
+        in_specs=(P(), P(axes), P()),
         out_specs=(P(axes), P(axes), P(axes)),
-    )(scene, pix_pad)
+        check_vma=False,
+    )(scene, pix_pad, s0)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
+                                   "go_camera", "mesh", "engine",
+                                   "block_rows"))
+def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
+                          batch: int, cfg: trace_mod.TraceConfig,
+                          go_camera: bool, mesh, engine: str = "jnp",
+                          block_rows: int = 8):
+    """Host-accumulation sharded entry (one jitted trace per shape)."""
+    return _batch_sums_sharded(scene, pix_pad, s0, width=width,
+                               height=height, batch=batch, cfg=cfg,
+                               go_camera=go_camera, engine=engine,
+                               block_rows=block_rows, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------
@@ -145,12 +166,12 @@ def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
 @partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
                                    "go_camera", "engine", "block_rows",
                                    "do_test", "rel_tol", "abs_tol",
-                                   "k_use"))
+                                   "k_use", "mesh"))
 def _device_round(scene, act_ids, act_sums, full_sums, spp_map, k, s0, *,
                   width: int, height: int, batch: int,
                   cfg: trace_mod.TraceConfig, go_camera: bool, engine: str,
                   block_rows: int, do_test: bool, rel_tol: float,
-                  abs_tol: float, k_use: int = 0):
+                  abs_tol: float, k_use: int = 0, mesh=None):
     """One batch: trace, accumulate, and (on test rounds) converge+compact.
 
     `k` and `s0` are traced scalars; `do_test` is static (the host knows
@@ -168,9 +189,21 @@ def _device_round(scene, act_ids, act_sums, full_sums, spp_map, k, s0, *,
     k_pad = act_ids.shape[0]
     valid = jnp.arange(k_pad, dtype=jnp.int32) < k
 
-    rgb, y, y2 = _batch_sums(scene, act_ids, s0, width=width, height=height,
-                             batch=batch, cfg=cfg, go_camera=go_camera,
-                             engine=engine, block_rows=block_rows)
+    if mesh is not None:
+        # Mesh-sharded fast path (round 4): the trace fans out over the
+        # devices; accumulation/convergence/compaction below stay global
+        # (XLA partitions the K-row elementwise ops and the cumsum).
+        # Per-row sums are computed whole on one device, so the
+        # convergence DECISIONS are bit-identical to the unsharded path.
+        rgb, y, y2 = _batch_sums_sharded(
+            scene, act_ids, s0, width=width, height=height, batch=batch,
+            cfg=cfg, go_camera=go_camera, engine=engine,
+            block_rows=block_rows, mesh=mesh)
+    else:
+        rgb, y, y2 = _batch_sums(scene, act_ids, s0, width=width,
+                                 height=height, batch=batch, cfg=cfg,
+                                 go_camera=go_camera, engine=engine,
+                                 block_rows=block_rows)
     add = jnp.concatenate([rgb, y[:, None], y2[:, None]], axis=1)
     act_sums = act_sums + jnp.where(valid[:, None], add, 0.0)
 
@@ -302,19 +335,15 @@ def render_adaptive(scene, *, width: int, height: int,
     if not 0 < min_spp <= max_spp:
         raise ValueError("need 0 < min_spp <= max_spp")
     if accum is None:
-        accum = ("device" if (jax.default_backend() == "tpu"
-                              and mesh is None) else "host")
+        accum = "device" if jax.default_backend() == "tpu" else "host"
     if accum not in ("host", "device"):
         raise ValueError(f"accum must be 'host' or 'device', got {accum!r}")
-    if accum == "device" and mesh is not None:
-        raise ValueError("accum='device' is single-device; mesh sharding "
-                         "uses the host accumulation path")
     block_rows = (renderer_mod.pick_block_rows(scene)
                   if engine == "pallas" else 8)
     if mesh is not None:
-        if engine == "pallas":
-            raise ValueError("mesh sharding uses the jnp wavefront; "
-                             "pass engine='jnp'")
+        # Round 4: both accumulation modes and both engines compose with
+        # a mesh — the trace fans out per device (_batch_sums_sharded),
+        # sums stay per-row, decisions stay bit-identical to unsharded.
         n_dev = int(np.prod(list(mesh.shape.values())))
         pad_quantum = _round_up_multiple(pad_quantum, n_dev)
 
@@ -387,7 +416,7 @@ def render_adaptive(scene, *, width: int, height: int,
             pad_quantum=pad_quantum, return_variance=return_variance,
             checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every, header=header,
-            as_numpy=as_numpy)
+            as_numpy=as_numpy, mesh=mesh)
 
     def _flush():
         if checkpoint_path:
@@ -406,7 +435,7 @@ def render_adaptive(scene, *, width: int, height: int,
             rgb, y, y2 = _sample_batch_sharded(
                 scene, jnp.asarray(pad), jnp.uint32(s0), width=width,
                 height=height, batch=b, cfg=cfg, go_camera=go_camera,
-                mesh=mesh)
+                mesh=mesh, engine=engine, block_rows=block_rows)
         else:
             rgb, y, y2 = _sample_batch(
                 scene, jnp.asarray(pad), jnp.uint32(s0), width=width,
@@ -456,7 +485,8 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
                             max_spp, batch, rel_tol, abs_tol, go_camera,
                             engine, block_rows, pad_quantum,
                             return_variance, checkpoint_path,
-                            checkpoint_every, header, as_numpy=True):
+                            checkpoint_every, header, as_numpy=True,
+                            mesh=None):
     """The accum="device" driver loop (state as resolved/resumed by
     render_adaptive, host-f64 schema). Per round: one async dispatch; one
     scalar pull on test rounds to shrink the pad bucket. Checkpoints pull
@@ -464,7 +494,12 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
     round-trip exactly through f64, so resume is bit-identical)."""
     n_px = width * height
     k_host = int(active.size)
-    k_pad = min(renderer_mod._pad_bucket(max(k_host, 1), pad_quantum), n_px)
+    # Under a mesh the bucket must stay divisible by the device count
+    # (pad_quantum already is; the n_px clamp must not break it).
+    n_dev = (int(np.prod(list(mesh.shape.values())))
+             if mesh is not None else 1)
+    cap = _round_up_multiple(n_px, n_dev)
+    k_pad = min(renderer_mod._pad_bucket(max(k_host, 1), pad_quantum), cap)
 
     ids_h = np.zeros(k_pad, np.uint32)
     ids_h[:k_host] = active
@@ -514,7 +549,7 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
             jnp.uint32(s0), width=width, height=height, batch=b, cfg=cfg,
             go_camera=go_camera, engine=engine, block_rows=block_rows,
             do_test=do_test, rel_tol=float(rel_tol),
-            abs_tol=float(abs_tol), k_use=k_use)
+            abs_tol=float(abs_tol), k_use=k_use, mesh=mesh)
         if k_use:
             k_pad = k_use
             k_use = 0
