@@ -90,6 +90,130 @@ def test_grad_sphere_center_finite(grads):
     assert np.isfinite(np.asarray(g["geometry"]["sph_center"])).all()
 
 
+# ---------------------------------------------------------------------------
+# Round-4 FD widening (VERDICT r3 #7): triangle vertices (cube scene, the
+# box-disable path in diff.split_params), IOR, camera position, deeper depth.
+# ---------------------------------------------------------------------------
+
+# Glass sphere BETWEEN the camera and the cube: refracted rays land on
+# the lit cube face at ior-dependent positions, so d(image)/d(ior) is a
+# real (nonzero) pathwise gradient. (A free-floating glass sphere is
+# ior-INsensitive: its refracted paths exit to the void and the
+# self-shadowed interior hits contribute only the position-independent
+# ambient tier - measured while designing this fixture.)
+CUBE_SCENE = {
+    "camera": {"position": [0, 0, 4], "lookAt": [0, 0, 0],
+               "up": [0, 1, 0], "fov": 60, "aspectRatio": 1.5},
+    "objects": [
+        {"type": "cube", "position": [0, 0, 0], "size": [1.8, 1.8, 1.8],
+         "material": {"type": "lambertian", "color": [0.7, 0.3, 0.3]}},
+        {"type": "sphere", "position": [0.2, 0.1, 2.0], "radius": 0.5,
+         "material": {"type": "glass", "color": [0.9, 0.9, 1.0],
+                      "refractionIndex": 1.5}},
+    ],
+    "lights": [
+        {"type": "point", "position": [3, 5, 4], "color": [1, 1, 1],
+         "intensity": 2.0},
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def cube_scene():
+    s, _ = rt.scene_from_dict(CUBE_SCENE)
+    return s
+
+
+@pytest.fixture(scope="module")
+def cube_grads(cube_scene):
+    img, g = diff_mod.render_and_grad(cube_scene, W, H, samples=SPP,
+                                      cfg=CFG)
+    return np.asarray(img), g
+
+
+def _fd_scene(scene, group, field, index, eps):
+    return diff_mod.finite_difference_grad(
+        scene, W, H, samples=SPP, cfg=CFG, group=group, field=field,
+        index=index, eps=eps)
+
+
+def test_cube_scene_visible_and_boxes_disabled(cube_scene, cube_grads):
+    img, g = cube_grads
+    assert img.max() > 0.05
+    # The diff path must drop the box-occluder substitution (optimized
+    # vertices break the closed-box premise) — split_params' merge
+    # rebuilds the scene with empty box tables.
+    params, merge = diff_mod.split_params(cube_scene)
+    rebuilt = merge(params)
+    assert rebuilt.geometry.box_min.shape[0] == 0
+    assert int(np.asarray(rebuilt.geometry.occl_tris)) == -1
+    # while the forward scene HAS boxes (cube loader attaches them)
+    assert cube_scene.geometry.box_min.shape[0] == 1
+
+
+@pytest.mark.parametrize("field,index,eps", [
+    ("tri_v0", (4, 2), 2e-4),   # front-face triangle (visible + lit)
+    ("tri_v1", (4, 2), 2e-4),
+])
+def test_grad_triangle_vertex_vs_fd(cube_scene, cube_grads, field, index,
+                                    eps):
+    """Vertex gradients flow through hit t, the derived face normal, AND
+    the (exact, differentiable) triangle occlusion path the box-disable
+    fallback uses. Measured AD/FD agreement on this fixture is <=4%."""
+    _, g = cube_grads
+    g_ad = float(np.asarray(g["geometry"][field])[index])
+    g_fd = _fd_scene(cube_scene, "geometry", field, index, eps)
+    assert np.isfinite(g_ad) and np.isfinite(g_fd)
+    assert abs(g_fd) > 1e-3, "fixture regressed: gradient is vacuous"
+    np.testing.assert_allclose(g_ad, g_fd, rtol=8e-2, atol=1e-4)
+
+
+def test_grad_ior_vs_fd(cube_scene, cube_grads):
+    """IOR gradient through the dielectric's refraction direction (the
+    probabilistic reflect/refract pick is reparameterized — the pick
+    uniform is parameter-independent — so the pathwise gradient is exact
+    for lanes whose branch doesn't flip within the FD stencil)."""
+    _, g = cube_grads
+    g_ad = float(np.asarray(g["materials"]["ior"])[1])
+    g_fd = _fd_scene(cube_scene, "materials", "ior", (1,), 2e-3)
+    assert np.isfinite(g_ad) and np.isfinite(g_fd)
+    assert abs(g_fd) > 1e-4, "fixture regressed: ior gradient is vacuous"
+    np.testing.assert_allclose(g_ad, g_fd, rtol=1.5e-1, atol=2e-4)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_grad_camera_position_vs_fd(cube_scene, cube_grads, axis):
+    """Camera translation: the fixed -Z viewport moves rigidly with the
+    origin (renderer.go:377-390), so the gradient is smooth away from
+    silhouettes. Measured agreement <=3% on all three axes."""
+    _, g = cube_grads
+    g_ad = float(np.asarray(g["camera"]["position"])[axis])
+    g_fd = _fd_scene(cube_scene, "camera", "position", (axis,), 2e-4)
+    assert np.isfinite(g_ad) and np.isfinite(g_fd)
+    assert abs(g_fd) > 1e-3, "fixture regressed: gradient is vacuous"
+    np.testing.assert_allclose(g_ad, g_fd, rtol=8e-2, atol=1e-4)
+
+
+def test_grad_albedo_and_ior_vs_fd_deeper_depth(cube_scene):
+    """One deeper-depth case (depth 6): the scan+remat reverse path must
+    stay FD-accurate through multi-bounce throughput products."""
+    cfg6 = trace_mod.TraceConfig(max_depth=6, shadow_samples=2)
+    _, g = diff_mod.render_and_grad(cube_scene, W, H, samples=SPP,
+                                    cfg=cfg6)
+    g_ad = float(np.asarray(g["materials"]["albedo"])[0, 0])
+    g_fd = diff_mod.finite_difference_grad(
+        cube_scene, W, H, samples=SPP, cfg=cfg6, group="materials",
+        field="albedo", index=(0, 0), eps=1e-3)
+    assert abs(g_fd) > 1e-2
+    np.testing.assert_allclose(g_ad, g_fd, rtol=2e-2, atol=1e-4)
+    gi_ad = float(np.asarray(g["materials"]["ior"])[1])
+    gi_fd = diff_mod.finite_difference_grad(
+        cube_scene, W, H, samples=SPP, cfg=cfg6, group="materials",
+        field="ior", index=(1,), eps=2e-3)
+    assert abs(gi_fd) > 1e-4
+    np.testing.assert_allclose(gi_ad, gi_fd, rtol=1.5e-1, atol=2e-4)
+
+
 def test_inverse_rendering_recovers_light_intensity(scene):
     """Perturb the light intensity 3x, descend on MSE to the original image.
 
