@@ -398,7 +398,7 @@ def render_adaptive(scene, *, width: int, height: int,
         # starts active, the pre-round-3 behavior).
         n_mask_lanes = n_px * max_spp
         if (jax.default_backend() == "tpu"
-                and not cfg.depth_of_field) or n_mask_lanes <= 4_000_000:
+                or n_mask_lanes <= 4_000_000):
             hit_px, _, _ = renderer_mod._pixel_mask(
                 scene, width=width, height=height, samples=max_spp,
                 cfg=cfg, go_camera=go_camera)

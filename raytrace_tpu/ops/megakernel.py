@@ -2613,10 +2613,15 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
         hand) plus the usual fp slack, and runs the same bounding-sphere
         test at the leaves;
       * forward culling keeps spheres behind the camera excluded:
-        a forward hit implies oc . d_c >= -R * |d_c|.
-
-    Thin-lens DoF perturbs origins; callers keep the per-lane mask for
-    that path (renderer._pixel_mask)."""
+        a forward hit implies oc . d_c >= -(R + L') * |d_c|;
+      * thin-lens DoF (round 4): a DoF sample is a ray from o + e
+        (|e| <= L = lens radius) with direction ~ d_j - e/F
+        (camera.thin_lens_perturb with F = focus distance), so the cone
+        widens to k' = k + L/F and every lateral bound gains the origin
+        shift: R = r + (dist + r) * k' + L' + eps with L' = L * (1 + k')
+        (the |c - o'| <= |c - o| + L slack folded in), plane numerator
+        intervals widen by L', and BVH node slabs inflate by the same
+        L'. With L = 0 all terms reduce to the round-3 math."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -2645,7 +2650,8 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
         dx = cam_ref[1, 0] + u * cam_ref[2, 0] + v * cam_ref[3, 0]
         dy = cam_ref[1, 1] + u * cam_ref[2, 1] + v * cam_ref[3, 1]
         dz = cam_ref[1, 2] + u * cam_ref[2, 2] + v * cam_ref[3, 2]
-        k = cam_ref[4, 0]
+        k = cam_ref[4, 0]   # cone half-sin incl. the DoF lens angle
+        ll = cam_ref[4, 1]  # DoF origin-shift slack L' (0 without DoF)
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
         sqa = jnp.sqrt(a)
@@ -2657,8 +2663,8 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
             oc2 = ocx * ocx + ocy * ocy + ocz * ocz
             g = ocx * dx + ocy * dy + ocz * dz
             r = bs_ref[3, j]
-            R = r + (jnp.sqrt(oc2) + r) * k + eps
-            hit = (oc2 - g * g * inv_a <= R * R) & (g >= -R * sqa)
+            R = r + (jnp.sqrt(oc2) + r) * k + ll + eps
+            hit = (oc2 - g * g * inv_a <= R * R) & (g >= -(R + ll) * sqa)
             return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
         def pln_hit(j, bf):
@@ -2669,7 +2675,7 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
                    + (pln_ref[2, j] - oz) * pln_ref[5, j])
             hit = ((jnp.abs(denom) <= k + eps)
                    | (num * denom > 0.0)
-                   | (jnp.abs(num) <= eps))
+                   | (jnp.abs(num) <= ll + eps))
             return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
         bf = jnp.zeros(u.shape)
@@ -2747,8 +2753,17 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
         g.pl_mat[:, None].astype(jnp.float32)], axis=1).T)
     cam4 = _affine_camera(scene, go_camera)
     k = _cone_half_sin(scene, go_camera, width, height)
+    if cfg.depth_of_field:
+        # Thin-lens widening (see the docstring): k' = k + L/F and the
+        # lateral origin-shift slack L' = L * (1 + k').
+        L = np.float32(cfg.dof_lens_radius)
+        F = np.float32(max(cfg.dof_focus_distance, 1e-6))
+        k = k + L / F
+        ll = L * (1.0 + k)
+    else:
+        ll = k * 0.0
     cam = jnp.concatenate(
-        [cam4, jnp.stack([k, k * 0.0, k * 0.0])[None, :]], axis=0)
+        [cam4, jnp.stack([k, ll, k * 0.0])[None, :]], axis=0)
 
     bvh_inputs = []
     if use_bvh:
@@ -2756,7 +2771,8 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
         nmin = jnp.asarray(scene.accel.node_min, jnp.float32)
         nmax = jnp.asarray(scene.accel.node_max, jnp.float32)
         far = jnp.maximum(jnp.abs(nmin - origin), jnp.abs(nmax - origin))
-        padn = (k * jnp.sqrt(jnp.sum(far * far, axis=-1)) + eps)[:, None]
+        padn = (k * jnp.sqrt(jnp.sum(far * far, axis=-1))
+                + ll + eps)[:, None]
         fp = 1e-3 * (nmax - nmin) + 1e-3  # fp slack (pack_bvh_tables)
         nodes = jnp.concatenate([
             nmin - padn - fp, nmax + padn + fp,

@@ -112,7 +112,7 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
 
     Returns (image (H,W,3) row-sharded, overflow scalar).
     """
-    from ..ops import intersect, megakernel
+    from ..ops import megakernel
     from .. import renderer as renderer_mod
 
     if block_rows is None:
@@ -136,25 +136,15 @@ def render_wavefront_sharded(scene, *, width: int, height: int,
     def local(scene, row0_l):
         base = row0_l[0] * width
         pix = (base + jnp.arange(n_px_local)).astype(jnp.uint32)
-        pix_id = jnp.repeat(pix, samples)
-        samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32),
-                           n_px_local)
-        if not cfg.depth_of_field:
-            # Same per-pixel cone mask as the single-chip driver
-            # (renderer._pixel_mask): one central ray per pixel, spp
-            # independent, conservative by construction.
-            pxc = (pix % np.uint32(width)).astype(jnp.float32)
-            pyc = (pix // np.uint32(width)).astype(jnp.float32)
-            hit_px = megakernel.pixel_mask_pallas(
-                scene, pxc, pyc, width=width, height=height, cfg=cfg,
-                go_camera=go_camera) > 0.0
-        else:
-            origin, direction = renderer_mod._lane_rays(
-                scene, pix_id, samp_id, width=width, height=height,
-                cfg=cfg, go_camera=go_camera)
-            hit = intersect.any_hit(scene.geometry, origin, direction,
-                                    1e-3, intersect.BIG)
-            hit_px = jnp.any(hit.reshape(n_px_local, samples), axis=1)
+        # Same per-pixel cone mask as the single-chip driver
+        # (renderer._pixel_mask): one central ray per pixel, spp
+        # independent, conservative by construction; round 4 widens it
+        # for thin-lens DoF, so that path shares it too.
+        pxc = (pix % np.uint32(width)).astype(jnp.float32)
+        pyc = (pix // np.uint32(width)).astype(jnp.float32)
+        hit_px = megakernel.pixel_mask_pallas(
+            scene, pxc, pyc, width=width, height=height, cfg=cfg,
+            go_camera=go_camera) > 0.0
         pos = jnp.cumsum(hit_px.astype(jnp.int32)) - 1
         k_px = pos[-1] + 1
         overflow = jnp.maximum(0, k_px - px_capacity)

@@ -184,28 +184,19 @@ def _pixel_mask(scene, *, width: int, height: int, samples: int,
     """
     n_px = width * height
     pix = jnp.arange(n_px, dtype=jnp.uint32)
-    if jax.default_backend() == "tpu" and not cfg.depth_of_field:
+    if jax.default_backend() == "tpu":
         # Per-PIXEL cone mask: ONE central ray per pixel against
         # cone-inflated primitives covers every jittered sample - a
         # spp-independent pass costing 1/spp of the per-lane mask (which
         # was ~22 of the headline frame's ~25 ms at 100 spp). Thin-lens
-        # DoF perturbs origins, so that path keeps the per-lane kernel.
+        # DoF widens the cone by the lens angle and adds the origin-shift
+        # slack (round 4, megakernel.pixel_mask_pallas docstring), so DoF
+        # renders stay on this path too.
         px = (pix % np.uint32(width)).astype(jnp.float32)
         py = (pix // np.uint32(width)).astype(jnp.float32)
         hit_px = megakernel.pixel_mask_pallas(
             scene, px, py, width=width, height=height, cfg=cfg,
             go_camera=go_camera) > 0.0
-    elif jax.default_backend() == "tpu":
-        # Fused Pallas mask: jitter->ray->any-hit per lane with no HBM
-        # intermediates (the XLA form costs ~25 full-wavefront passes).
-        pix_id = jnp.repeat(pix, samples)
-        samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
-        px = (pix_id % np.uint32(width)).astype(jnp.float32)
-        py = (pix_id // np.uint32(width)).astype(jnp.float32)
-        hit_f = megakernel.primary_mask_pallas(
-            scene, pix_id, samp_id, px, py, width=width, height=height,
-            cfg=cfg, go_camera=go_camera)
-        hit_px = jnp.any((hit_f > 0.0).reshape(n_px, samples), axis=1)
     else:
         pix_id = jnp.repeat(pix, samples)
         samp_id = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), n_px)
@@ -642,11 +633,12 @@ class Renderer:
     def _pallas_ok(self, scene, cfg) -> bool:
         """Whether the compacted Pallas wavefront can serve this render.
 
-        DoF rays are lens-perturbed, so the affine-camera primary-hit mask
-        kernel could wrongly exclude pixels - DoF renders take the jnp
-        engine (renderer.go's depthOfField was CPU-side anyway)."""
-        return (megakernel.scene_fits_kernel(scene)
-                and not cfg.depth_of_field)
+        Round 4: thin-lens DoF renders run on this path too - the cone
+        mask widens by the lens angle + origin-shift slack
+        (megakernel.pixel_mask_pallas), and the bounce kernel is
+        ray-agnostic (the lens perturbation happens in _lane_rays before
+        the kernel)."""
+        return megakernel.scene_fits_kernel(scene)
 
     def render_linear_device(self, scene, width: int, height: int):
         """Full-image mean linear radiance as a DEVICE array (H,W,3).

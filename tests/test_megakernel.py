@@ -501,6 +501,75 @@ def _ring_bvh_scene(enclosed=False):
     return scene_mod.with_accel(s)
 
 
+def test_pixel_cone_mask_conservative_dof():
+    """Round 4: the cone mask widened for thin-lens DoF must never
+    exclude a pixel any LENS-PERTURBED sample hits (origin shifts up to
+    the lens radius + direction tilt toward the focal plane). Fuzzed
+    like the pinhole test, with an aggressive lens."""
+    from raytrace_tpu import scene as scene_mod
+    W, H, spp = 32, 24, 8
+    cfg = trace_mod.TraceConfig(max_depth=2, depth_of_field=True,
+                                dof_lens_radius=0.25,
+                                dof_focus_distance=5.0)
+    rng_np = np.random.default_rng(7)
+    for trial in range(2):
+        objs = [{"type": "plane", "position": [0, -1.2, 0],
+                 "normal": [0, 1, 0],
+                 "material": {"type": "lambertian",
+                              "color": [0.5, 0.5, 0.5]}}]
+        for _ in range(10):
+            pos = rng_np.uniform([-4, -1, -6], [4, 3, 2]).tolist()
+            objs.append({"type": "sphere", "position": pos,
+                         "radius": float(rng_np.uniform(0.2, 0.9)),
+                         "material": {"type": "lambertian",
+                                      "color": [0.6, 0.4, 0.3]}})
+        s, _ = rt.scene_from_dict({
+            "camera": {"position": [0, 1, 9], "aspectRatio": 1.33,
+                       "lookAt": [0, 0, 0], "up": [0, 1, 0]},
+            "objects": objs,
+            "lights": [{"type": "point", "position": [4, 8, 4],
+                        "color": [1, 1, 1], "intensity": 2.0}]})
+        oracle = _mask_oracle_px(s, W, H, spp, cfg)  # DoF-exact lanes
+        px = (jnp.arange(W * H, dtype=jnp.uint32)
+              % np.uint32(W)).astype(jnp.float32)
+        py = (jnp.arange(W * H, dtype=jnp.uint32)
+              // np.uint32(W)).astype(jnp.float32)
+        cone = np.asarray(mk.pixel_mask_pallas(
+            s, px, py, width=W, height=H, cfg=cfg, interpret=True)) > 0.0
+        missed = oracle & ~cone
+        assert not missed.any(), (trial, int(missed.sum()))
+
+        # bvh mode: the DoF widening must reach the inflated-slab walk.
+        s2 = scene_mod.with_accel(s)
+        orig = mk.UNROLL_PRIM_LIMIT
+        mk.UNROLL_PRIM_LIMIT = 4
+        try:
+            assert mk._kernel_mode(s2) == "bvh"
+            cone2 = np.asarray(mk.pixel_mask_pallas(
+                s2, px, py, width=W, height=H, cfg=cfg,
+                interpret=True)) > 0.0
+        finally:
+            mk.UNROLL_PRIM_LIMIT = orig
+        missed2 = oracle & ~cone2
+        assert not missed2.any(), (trial, int(missed2.sum()))
+
+
+def test_dof_render_wavefront_matches_jnp(scene):
+    """Round 4 (VERDICT r3 #5): DoF renders run on the Pallas wavefront
+    (the cone mask covers lens-perturbed rays; the bounce kernel is
+    ray-agnostic). Equivalence against the jnp engine."""
+    r = rt.Renderer()
+    r.samples, r.max_depth = 2, 3
+    r.depth_of_field = True
+    r.engine = "jnp"
+    cfg = r.trace_config()
+    assert cfg.depth_of_field
+    ref = r.render_linear(scene, 8, 6)
+    img = renderer_mod.render_wavefront(
+        scene, width=8, height=6, samples=2, cfg=cfg)
+    np.testing.assert_allclose(img, ref, atol=1e-4)
+
+
 def test_split_survivor_compaction_matches_unsplit(monkeypatch):
     """RT_SPLIT=2 re-compacts bvh-mode survivors at bounce 2 (default is
     OFF since the 2026-08-19 TPU measurement showed the split is a
