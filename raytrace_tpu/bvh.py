@@ -174,11 +174,11 @@ def widen4(flat: FlatBVH) -> WideBVH4:
     else:
         rec(0, 1)
     return WideBVH4(
-        slot_min=jnp.asarray(np.stack(smin)),
-        slot_max=jnp.asarray(np.stack(smax)),
-        slot_child=jnp.asarray(np.stack(schild)),
-        slot_first=jnp.asarray(np.stack(sfirst)),
-        slot_count=jnp.asarray(np.stack(scount)),
+        slot_min=np.stack(smin),
+        slot_max=np.stack(smax),
+        slot_child=np.stack(schild),
+        slot_first=np.stack(sfirst),
+        slot_count=np.stack(scount),
         max_stack=3 * max(depth[0], 1) + 1,
     )
 
@@ -316,23 +316,28 @@ def build_bvh(lo: np.ndarray, hi: np.ndarray,
         from . import native
         nat = native.build_bvh_native(lo, hi, leaf_size)
         if nat is not None:
+            # numpy leaves on purpose: the builder chain (widen4, the
+            # megakernel table packers) is host-side, and a jnp round
+            # trip here costs device RPCs through the tunnel (observed
+            # as multi-minute scene-build stalls at >4096 prims); jit
+            # uploads the tables lazily at first use.
             nmin, nmax, nskip, nfirst, ncount, perm = nat
-            return FlatBVH(node_min=jnp.asarray(nmin),
-                           node_max=jnp.asarray(nmax),
-                           node_skip=jnp.asarray(nskip),
-                           node_first=jnp.asarray(nfirst),
-                           node_count=jnp.asarray(ncount),
-                           prim_index=jnp.asarray(perm),
+            return FlatBVH(node_min=nmin,
+                           node_max=nmax,
+                           node_skip=nskip,
+                           node_first=nfirst,
+                           node_count=ncount,
+                           prim_index=perm,
                            leaf_size=leaf_size)
     nodes, perm = _build_nodes(lo, hi, leaf_size, method=method)
     as_np = lambda i, dt=np.float32: np.asarray([n[i] for n in nodes], dt)
     return FlatBVH(
-        node_min=jnp.asarray(as_np(0)),
-        node_max=jnp.asarray(as_np(1)),
-        node_skip=jnp.asarray(np.asarray([n[4] for n in nodes], np.int32)),
-        node_first=jnp.asarray(np.asarray([n[2] for n in nodes], np.int32)),
-        node_count=jnp.asarray(np.asarray([n[3] for n in nodes], np.int32)),
-        prim_index=jnp.asarray(perm),
+        node_min=as_np(0),
+        node_max=as_np(1),
+        node_skip=np.asarray([n[4] for n in nodes], np.int32),
+        node_first=np.asarray([n[2] for n in nodes], np.int32),
+        node_count=np.asarray([n[3] for n in nodes], np.int32),
+        prim_index=np.asarray(perm),
         leaf_size=leaf_size,
     )
 

@@ -60,6 +60,21 @@ MAX_KERNEL_PRIMS = 96
 # BVH-walk kernel: scene tables + node table live in SMEM; this cap keeps
 # them comfortably inside scalar memory (~4096 prims ~= 80-250 KB).
 MAX_BVH_KERNEL_PRIMS = 4096
+# DMA-streamed BVH kernel (round 4): only the NODE table lives in SMEM;
+# leaf primitive rows stream from an HBM table into an SMEM scratch via
+# async_copy at each leaf visit (~300 ns per serial DMA, measured by
+# tools/measure_dma_stream.py). The cap bounds the node table: at
+# leaf_size 32 a 262144-prim tree is ~22K nodes = (9, 22K) f32 ~= 790 KB
+# of the ~1 MB SMEM. This is the uncapped intent of the reference's BVH
+# (spatial_acceleration.go:16-69 + renderer.go:333-346).
+MAX_STREAM_KERNEL_PRIMS = 1 << 18
+# Floats per unified stream row: [tag, v0/center.xyz, e1.xyz (x=radius
+# for spheres), e2.xyz, n.xyz, mat] = 14, +9 vertex-normal floats for
+# smooth-shaded scenes. Rows pad to STREAM_ROW (one 128-lane HBM tile)
+# so per-leaf DMA slices stay tile-aligned.
+STREAM_COLS = 14
+STREAM_COLS_VN = 23
+STREAM_ROW = 128
 
 
 def _env_no_fused_soft() -> bool:
@@ -87,20 +102,23 @@ def scene_fits_kernel(scene) -> bool:
     if n <= MAX_KERNEL_PRIMS:
         return True
     # Large scenes: the packet-BVH kernel walks scene.accel (scene.py
-    # attaches it automatically past bvh.BVH_THRESHOLD).
+    # attaches it automatically past bvh.BVH_THRESHOLD); past the SMEM
+    # prim-table cap the stream kernel DMAs leaf rows from HBM.
     return (getattr(scene, "accel", None) is not None
-            and n <= MAX_BVH_KERNEL_PRIMS)
+            and n <= MAX_STREAM_KERNEL_PRIMS)
 
 
 def _kernel_mode(scene) -> str:
-    """'unroll' | 'loop' | 'bvh' for a given scene shape.
+    """'unroll' | 'loop' | 'bvh' | 'stream' for a given scene shape.
 
     Smooth-shaded scenes (vertex-normal table present) unroll only to
     UNROLL_PRIM_LIMIT_VN: the interpolation keeps ~9 extra live values
     per unrolled triangle and an 80-triangle vn scene measured a scoped
     VMEM stack of 20.2 MB against the 16 MB limit (compile-time OOM).
     scene.from_dict auto-attaches a BVH to such scenes so they land in
-    bvh mode, not the slow loop fallback."""
+    bvh mode, not the slow loop fallback. Past MAX_BVH_KERNEL_PRIMS the
+    prim tables no longer fit SMEM and the walk streams leaf rows from
+    HBM ('stream')."""
     n = (scene.geometry.sph_center.shape[0]
          + scene.geometry.tri_v0.shape[0]
          + scene.geometry.pl_point.shape[0])
@@ -110,7 +128,7 @@ def _kernel_mode(scene) -> str:
     if n <= limit:
         return "unroll"
     if getattr(scene, "accel", None) is not None:
-        return "bvh"
+        return "bvh" if n <= MAX_BVH_KERNEL_PRIMS else "stream"
     return "loop"
 
 
@@ -246,7 +264,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                  return_state: bool = False, mode: str = "unroll",
                  n_nodes: int = 0, advanced: bool = False,
                  textures: tuple = (), wide: bool = False,
-                 max_stack: int = 0, nb: int = 0, nt_occl=None):
+                 max_stack: int = 0, nb: int = 0, nt_occl=None,
+                 stream_cols: int = 0, leaf_max: int = 0):
     """Build the kernel body for a scene shape (all sizes static).
 
     nb / nt_occl: box-occluder split (scene.Geometry.box_min doc) -
@@ -311,22 +330,26 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                           jnp.maximum(t0z, t1z))
         return near, far
 
-    def _tri_smooth_normal(tri, j, u, v, fnx, fny, fnz):
+    def _tri_smooth_normal_g(get, has_vn, u, v, fnx, fny, fnz):
         """Barycentric vertex-normal interpolation (triangle.go:84-88:
-        w*n0 + u*n1 + v*n2, normalized, w = 1-u-v) from table rows
-        13-21, reusing the Moller-Trumbore u, v the hit test already
-        computed. Flat scenes have no vn rows (tri table stays (13,Nt))
-        and pass the face normal through untouched - a compile-time
-        branch, so they pay nothing."""
-        if tri.shape[0] < 22:
+        w*n0 + u*n1 + v*n2, normalized, w = 1-u-v) from tri-layout cols
+        13-21 via the accessor, reusing the Moller-Trumbore u, v the hit
+        test already computed. Flat scenes (has_vn False, a compile-time
+        flag) pass the face normal through untouched and pay nothing."""
+        if not has_vn:
             return fnx, fny, fnz
         w = 1.0 - u - v
-        inx = w * tri[13, j] + u * tri[16, j] + v * tri[19, j]
-        iny = w * tri[14, j] + u * tri[17, j] + v * tri[20, j]
-        inz = w * tri[15, j] + u * tri[18, j] + v * tri[21, j]
+        inx = w * get(13) + u * get(16) + v * get(19)
+        iny = w * get(14) + u * get(17) + v * get(20)
+        inz = w * get(15) + u * get(18) + v * get(21)
         ln = jnp.sqrt(inx * inx + iny * iny + inz * inz)
         inv_l = 1.0 / jnp.where(ln > 0.0, ln, 1.0)
         return inx * inv_l, iny * inv_l, inz * inv_l
+
+    def _tri_smooth_normal(tri, j, u, v, fnx, fny, fnz):
+        return _tri_smooth_normal_g(lambda c: tri[c, j],
+                                    tri.shape[0] >= 22, u, v,
+                                    fnx, fny, fnz)
 
     def closest_hit(sph, tri, pln, box, ox, oy, oz, dx, dy, dz):
         """Returns (t, outward nx,ny,nz, mat_id_f). t==BIG on miss."""
@@ -564,7 +587,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
     # code size scale with the scene; past UNROLL_PRIM_LIMIT primitives the
     # kernels below iterate with lax.fori_loop instead (carry vectors are
     # f32 - i1 vector carries fail to legalize).
-    loop_mode = mode in ("loop", "bvh")
+    loop_mode = mode in ("loop", "bvh", "stream")
 
     def closest_hit_loop(sph, tri, pln, box, ox, oy, oz, dx, dy, dz):
         shape = ox.shape
@@ -728,6 +751,8 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             blocked_f = jax.lax.fori_loop(0, npl, pln_body, blocked_f)
         return blocked_f > 0.0
 
+    stream_mode = mode == "stream"
+
     def kernel(*refs):
         i0 = 0
         if mode == "bvh":
@@ -737,6 +762,12 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 bvh4 = refs[2]
                 stack_ref = refs[-1]  # SMEM scratch (after the outputs)
                 i0 = 3
+        elif stream_mode:
+            # nodes in SMEM; leaf prim rows DMA'd from the HBM table
+            # into the SMEM scratch (after the outputs) per leaf visit.
+            bvh, stream_hbm = refs[0], refs[1]
+            stream_scr, dma_sem = refs[-2], refs[-1]
+            i0 = 2
         sph, tri, pln, box, lit, mtab = refs[i0:i0 + 6]
         pix_ref, samp_ref = refs[i0 + 6], refs[i0 + 7]
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -746,17 +777,47 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
         pix = pix_ref[:]
         samp = samp_ref[:]
 
-        if mode == "bvh":
+        if mode in ("bvh", "stream"):
             soft_guard_fn = None  # the fused cone walk subsumes the guard
             soft_prim_sets_fn = None
             # ---- packet BVH walk over the scene tree in SMEM ----------
+            # Row tests read primitive attributes through a `get`
+            # accessor: bvh mode binds it to the SMEM sph/tri tables at a
+            # prim id; stream mode binds it to the DMA'd leaf scratch at
+            # a local row (unified row layout, pack_stream_table).
             iv = lambda d: 1.0 / jnp.where(d == 0.0, 1e-30, d)
+            has_vn = ((stream_cols >= STREAM_COLS_VN) if stream_mode
+                      else tri.shape[0] >= 22)
 
-            def _sph_closest_row(pid, cy, ox, oy, oz, dx, dy, dz, a,
+            if stream_mode:
+                def _dma_leaf(first):
+                    cp = pltpu.make_async_copy(
+                        stream_hbm.at[pl.ds(first, leaf_max), :],
+                        stream_scr, dma_sem)
+                    cp.start()
+                    cp.wait()
+
+                def _sget(j):
+                    # unified row: center in the v0 slot, radius in e1.x,
+                    # mat in col 13 (see pack_stream_table)
+                    cols = (1, 2, 3, 4, 13)
+                    return lambda c: stream_scr[j, cols[c]]
+
+                def _tget(j):
+                    # tri-layout col c -> unified col c+1
+                    return lambda c: stream_scr[j, c + 1]
+            else:
+                def _sget(pid):
+                    return lambda c: sph[c, pid]
+
+                def _tget(tj_i):
+                    return lambda c: tri[c, tj_i]
+
+            def _sph_closest_row(get, cy, ox, oy, oz, dx, dy, dz, a,
                                  inv_a):
                 t_best, nx, ny, nz, mat = cy
-                cx, cyy, cz = sph[0, pid], sph[1, pid], sph[2, pid]
-                r, m = sph[3, pid], sph[4, pid]
+                cx, cyy, cz = get(0), get(1), get(2)
+                r, m = get(3), get(4)
                 ocx, ocy, ocz = ox - cx, oy - cyy, oz - cz
                 half_b = ocx * dx + ocy * dy + ocz * dz
                 c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -776,19 +837,19 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         jnp.where(win, (oz + dz * tj - cz) * inv_r, nz),
                         jnp.where(win, m, mat))
 
-            def _tri_closest_row(tj_i, cy, ox, oy, oz, dx, dy, dz):
+            def _tri_closest_row(get, occl_ok, cy, ox, oy, oz, dx, dy, dz):
                 t_best, nx, ny, nz, mat = cy
-                e1x, e1y, e1z = tri[3, tj_i], tri[4, tj_i], tri[5, tj_i]
-                e2x, e2y, e2z = tri[6, tj_i], tri[7, tj_i], tri[8, tj_i]
+                e1x, e1y, e1z = get(3), get(4), get(5)
+                e2x, e2y, e2z = get(6), get(7), get(8)
                 hx = dy * e2z - dz * e2y
                 hy = dz * e2x - dx * e2z
                 hz = dx * e2y - dy * e2x
                 det = e1x * hx + e1y * hy + e1z * hz
                 good = jnp.abs(det) >= 1e-6
                 f = 1.0 / jnp.where(good, det, 1.0)
-                sx = ox - tri[0, tj_i]
-                sy = oy - tri[1, tj_i]
-                sz = oz - tri[2, tj_i]
+                sx = ox - get(0)
+                sy = oy - get(1)
+                sz = oz - get(2)
                 u = f * (sx * hx + sy * hy + sz * hz)
                 qx = sy * e1z - sz * e1y
                 qy = sz * e1x - sx * e1z
@@ -798,17 +859,17 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 win = (good & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
                        & (u + v <= 1.0) & (tj >= t_min) & (tj < t_best))
                 # cube faces [nt_occl, nt) are hit as boxes (carry
-                # seeded before the walk); scalar mask
-                win = win & (tj_i < nt_occl)
-                snx, sny, snz = _tri_smooth_normal(tri, tj_i, u, v,
-                                                   tri[9, tj_i],
-                                                   tri[10, tj_i],
-                                                   tri[11, tj_i])
+                # seeded before the walk); scalar mask (stream mode
+                # resolves it via the row tag at the dispatch site)
+                win = win & occl_ok
+                snx, sny, snz = _tri_smooth_normal_g(get, has_vn, u, v,
+                                                     get(9), get(10),
+                                                     get(11))
                 return (jnp.where(win, tj, t_best),
                         jnp.where(win, snx, nx),
                         jnp.where(win, sny, ny),
                         jnp.where(win, snz, nz),
-                        jnp.where(win, tri[12, tj_i], mat))
+                        jnp.where(win, get(12), mat))
 
             def _pln_closest_row(j, cy, ox, oy, oz, dx, dy, dz):
                 t_best, nx, ny, nz, mat = cy
@@ -828,25 +889,46 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             def _leaf_closest(first, cnt, carry, ox, oy, oz, dx, dy, dz,
                               a, inv_a):
                 """Run a leaf's primitive tests on the closest-hit carry
-                (traced first/cnt, sphere-vs-triangle dispatch on pid)."""
+                (traced first/cnt; sphere-vs-triangle dispatch on pid in
+                bvh mode, on the row tag in stream mode)."""
+                if stream_mode:
+                    _dma_leaf(first)
+
+                    def lb(j, cy2):
+                        tag = stream_scr[j, 0].astype(jnp.int32)
+                        sphf = lambda c2: _sph_closest_row(
+                            _sget(j), c2, ox, oy, oz, dx, dy, dz,
+                            a, inv_a)
+                        # tag 2 = cube-face row (boxes own closest-hit;
+                        # kept in the tree for the conservative masks)
+                        trif = lambda c2: _tri_closest_row(
+                            _tget(j), tag == 1, c2, ox, oy, oz,
+                            dx, dy, dz)
+                        if ns and nt:
+                            return jax.lax.cond(tag == 0, sphf, trif, cy2)
+                        if ns:
+                            return sphf(cy2)
+                        return trif(cy2)
+                    return jax.lax.fori_loop(0, cnt, lb, carry)
+
                 def lb(j, cy2):
                     pid = pidx[0, first + j].astype(jnp.int32)
                     if ns and nt:
                         return jax.lax.cond(
                             pid < ns,
                             lambda c2: _sph_closest_row(
-                                pid, c2, ox, oy, oz, dx, dy, dz,
+                                _sget(pid), c2, ox, oy, oz, dx, dy, dz,
                                 a, inv_a),
                             lambda c2: _tri_closest_row(
-                                pid - ns, c2, ox, oy, oz,
-                                dx, dy, dz),
+                                _tget(pid - ns), pid - ns < nt_occl, c2,
+                                ox, oy, oz, dx, dy, dz),
                             cy2)
                     if ns:
                         return _sph_closest_row(
-                            pid, cy2, ox, oy, oz, dx, dy, dz,
+                            _sget(pid), cy2, ox, oy, oz, dx, dy, dz,
                             a, inv_a)
-                    return _tri_closest_row(pid, cy2, ox, oy, oz,
-                                            dx, dy, dz)
+                    return _tri_closest_row(_tget(pid), pid < nt_occl,
+                                            cy2, ox, oy, oz, dx, dy, dz)
                 return jax.lax.fori_loop(0, cnt, lb, carry)
 
             def closest_fn_binary(ox, oy, oz, dx, dy, dz, alive_f,
@@ -1009,11 +1091,11 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 a = ddx * ddx + ddy * ddy + ddz * ddz
                 inv_a = 1.0 / a
 
-                def _sph_any(pid, bf):
-                    ocx = px_ - sph[0, pid]
-                    ocy = py_ - sph[1, pid]
-                    ocz = pz_ - sph[2, pid]
-                    r = sph[3, pid]
+                def _sph_any(get, bf):
+                    ocx = px_ - get(0)
+                    ocy = py_ - get(1)
+                    ocz = pz_ - get(2)
+                    r = get(3)
                     half_b = ocx * ddx + ocy * ddy + ocz * ddz
                     c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
                     disc = half_b * half_b - a * c
@@ -1025,16 +1107,14 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                 | ((r1 >= t_min) & (r1 <= tmax)))
                     return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
-                def _tri_any(tj_i, bf):
+                def _tri_any(get, occl_ok, bf):
                     # Division-free any-hit (intersect.triangle_blocked
                     # expression order).
-                    e1x, e1y, e1z = (tri[3, tj_i], tri[4, tj_i],
-                                     tri[5, tj_i])
-                    e2x, e2y, e2z = (tri[6, tj_i], tri[7, tj_i],
-                                     tri[8, tj_i])
-                    sx = px_ - tri[0, tj_i]
-                    sy = py_ - tri[1, tj_i]
-                    sz = pz_ - tri[2, tj_i]
+                    e1x, e1y, e1z = get(3), get(4), get(5)
+                    e2x, e2y, e2z = get(6), get(7), get(8)
+                    sx = px_ - get(0)
+                    sy = py_ - get(1)
+                    sz = pz_ - get(2)
                     n2x = e1y * e2z - e1z * e2y
                     n2y = e1z * e2x - e1x * e2z
                     n2z = e1x * e2y - e1y * e2x
@@ -1055,7 +1135,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                            & (at <= tmax * ad))
                     # cube faces [nt_occl, nt) are handled by the box
                     # pre-tests; mask them here (scalar compare)
-                    hit = hit & (tj_i < nt_occl)
+                    hit = hit & occl_ok
                     return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
                 ivx, ivy, ivz = iv(ddx), iv(ddy), iv(ddz)
@@ -1088,16 +1168,34 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     bf = jnp.maximum(bf, jnp.where(bhit, 1.0, 0.0))
 
                 def _leaf_any(first, cnt, b2):
+                    if stream_mode:
+                        _dma_leaf(first)
+
+                        def lb(j, b3):
+                            tag = stream_scr[j, 0].astype(jnp.int32)
+                            sphf = lambda b: _sph_any(_sget(j), b)
+                            trif = lambda b: _tri_any(_tget(j),
+                                                      tag == 1, b)
+                            if ns and nt:
+                                return jax.lax.cond(tag == 0, sphf,
+                                                    trif, b3)
+                            if ns:
+                                return sphf(b3)
+                            return trif(b3)
+                        return jax.lax.fori_loop(0, cnt, lb, b2)
+
                     def lb(j, b3):
                         pid = pidx[0, first + j].astype(jnp.int32)
                         if ns and nt:
                             return jax.lax.cond(
                                 pid < ns,
-                                lambda b: _sph_any(pid, b),
-                                lambda b: _tri_any(pid - ns, b), b3)
+                                lambda b: _sph_any(_sget(pid), b),
+                                lambda b: _tri_any(_tget(pid - ns),
+                                                   pid - ns < nt_occl,
+                                                   b), b3)
                         if ns:
-                            return _sph_any(pid, b3)
-                        return _tri_any(pid, b3)
+                            return _sph_any(_sget(pid), b3)
+                        return _tri_any(_tget(pid), pid < nt_occl, b3)
                     return jax.lax.fori_loop(0, cnt, lb, b2)
 
                 def wcond(c):
@@ -1266,11 +1364,11 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 ivx, ivy, ivz = iv(ldx), iv(ldy), iv(ldz)
                 tminc = np.float32(0.9949) * t_min
 
-                def _sph_all(pid, b3):
-                    ocx = px_ - sph[0, pid]
-                    ocy = py_ - sph[1, pid]
-                    ocz = pz_ - sph[2, pid]
-                    r = sph[3, pid]
+                def _sph_all(get, b3):
+                    ocx = px_ - get(0)
+                    ocy = py_ - get(1)
+                    ocz = pz_ - get(2)
+                    r = get(3)
                     cc = ocx * ocx + ocy * ocy + ocz * ocz - r * r
                     for s, (sdx, sdy, sdz, a_s, inv_a) in enumerate(sd):
                         half_b = ocx * sdx + ocy * sdy + ocz * sdz
@@ -1285,19 +1383,17 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                             jnp.int32(0))
                     return b3
 
-                def _tri_all(tj_i, b3):
+                def _tri_all(get, occl_ok, b3):
                     # Division-free any-hit with ALL per-direction cross
                     # products hoisted: c1/q/e2q/n2 are shared by the 16
                     # samples, each sample pays three dot products and
                     # the range compares (intersect.triangle_blocked
                     # expression order).
-                    e1x, e1y, e1z = (tri[3, tj_i], tri[4, tj_i],
-                                     tri[5, tj_i])
-                    e2x, e2y, e2z = (tri[6, tj_i], tri[7, tj_i],
-                                     tri[8, tj_i])
-                    sx = px_ - tri[0, tj_i]
-                    sy = py_ - tri[1, tj_i]
-                    sz = pz_ - tri[2, tj_i]
+                    e1x, e1y, e1z = get(3), get(4), get(5)
+                    e2x, e2y, e2z = get(6), get(7), get(8)
+                    sx = px_ - get(0)
+                    sy = py_ - get(1)
+                    sz = pz_ - get(2)
                     n2x = e1y * e2z - e1z * e2y
                     n2y = e1z * e2x - e1x * e2z
                     n2z = e1x * e2y - e1y * e2x
@@ -1308,7 +1404,7 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     qy = sz * e1x - sx * e1z
                     qz = sx * e1y - sy * e1x
                     e2q = e2x * qx + e2y * qy + e2z * qz
-                    is_occl = tj_i < nt_occl  # cube faces -> box tests
+                    is_occl = occl_ok  # cube faces -> box tests
                     for s, (sdx, sdy, sdz, _, _) in enumerate(sd):
                         det = -(sdx * n2x + sdy * n2y + sdz * n2z)
                         sg = jnp.where(det >= 0.0, 1.0, -1.0)
@@ -1324,16 +1420,34 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     return b3
 
                 def _leaf_all(first, cnt, b2):
+                    if stream_mode:
+                        _dma_leaf(first)
+
+                        def lb(j, b3):
+                            tag = stream_scr[j, 0].astype(jnp.int32)
+                            sphf = lambda b: _sph_all(_sget(j), b)
+                            trif = lambda b: _tri_all(_tget(j),
+                                                      tag == 1, b)
+                            if ns and nt:
+                                return jax.lax.cond(tag == 0, sphf,
+                                                    trif, b3)
+                            if ns:
+                                return sphf(b3)
+                            return trif(b3)
+                        return jax.lax.fori_loop(0, cnt, lb, b2)
+
                     def lb(j, b3):
                         pid = pidx[0, first + j].astype(jnp.int32)
                         if ns and nt:
                             return jax.lax.cond(
                                 pid < ns,
-                                lambda b: _sph_all(pid, b),
-                                lambda b: _tri_all(pid - ns, b), b3)
+                                lambda b: _sph_all(_sget(pid), b),
+                                lambda b: _tri_all(_tget(pid - ns),
+                                                   pid - ns < nt_occl,
+                                                   b), b3)
                         if ns:
-                            return _sph_all(pid, b3)
-                        return _tri_all(pid, b3)
+                            return _sph_all(_sget(pid), b3)
+                        return _tri_all(_tget(pid), pid < nt_occl, b3)
                     return jax.lax.fori_loop(0, cnt, lb, b2)
 
                 def wcond(c):
@@ -2630,7 +2744,12 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
     npl = scene.geometry.pl_point.shape[0]
     nbs = ns + nt
     mode = _kernel_mode(scene)
-    use_bvh = mode == "bvh"
+    use_bvh = mode in ("bvh", "stream")
+    # stream scenes: the per-prim bounding-sphere table is exactly what
+    # does not fit SMEM, so the mask stops at the inflated node slabs -
+    # a slab-boxed LEAF marks its lanes hit (strictly more conservative
+    # than the bsphere leaf test; over-included pixels trace to black).
+    node_only = mode == "stream"
     loop_mode = mode == "loop"
     n_nodes = scene.accel.node_min.shape[0] if use_bvh else 0
     inv_w = np.float32(1.0 / width)
@@ -2638,7 +2757,10 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
     eps = np.float32(1e-3)
 
     def kernel(*refs):
-        if use_bvh:
+        if node_only:
+            bvh = refs[0]
+            refs = refs[1:]
+        elif use_bvh:
             bvh, pidx = refs[0], refs[1]
             refs = refs[2:]
         (bs_ref, pln_ref, cam_ref, px_ref, py_ref, out_ref) = refs
@@ -2709,14 +2831,18 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
                 cnt = bvh[8, cur].astype(jnp.int32)
                 is_leaf = cnt > 0
 
-                def leafer(b2):
-                    def lb(j, b3):
-                        pid = pidx[0, first + j].astype(jnp.int32)
-                        return bs_hit(pid, b3)
-                    return jax.lax.fori_loop(0, cnt, lb, b2)
+                if node_only:
+                    # leaf slab passed -> conservatively mark its lanes
+                    bf2 = jnp.where(is_leaf, jnp.maximum(bf2, want), bf2)
+                else:
+                    def leafer(b2):
+                        def lb(j, b3):
+                            pid = pidx[0, first + j].astype(jnp.int32)
+                            return bs_hit(pid, b3)
+                        return jax.lax.fori_loop(0, cnt, lb, b2)
 
-                bf2 = jax.lax.cond(boxed & is_leaf, leafer,
-                                   lambda b: b, bf2)
+                    bf2 = jax.lax.cond(boxed & is_leaf, leafer,
+                                       lambda b: b, bf2)
                 done = jnp.min(bf2) >= 1.0
                 nxt = jnp.where(done, n_nodes,
                                 jnp.where(boxed & (~is_leaf), cur + 1,
@@ -2746,7 +2872,8 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
 
     pad1 = lambda a: a if a.shape[-1] else jnp.zeros(a.shape[:-1] + (1,),
                                                      a.dtype)
-    bs = pad1(_bsphere_table(scene))
+    bs = (jnp.zeros((4, 1), jnp.float32) if node_only
+          else pad1(_bsphere_table(scene)))
     g = scene.geometry
     pln = pad1(jnp.concatenate([
         g.pl_point.astype(jnp.float32), g.pl_normal.astype(jnp.float32),
@@ -2780,8 +2907,11 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
             scene.accel.node_first[:, None].astype(jnp.float32),
             scene.accel.node_count[:, None].astype(jnp.float32)],
             axis=1).T
-        pidx_t = scene.accel.prim_index[None, :].astype(jnp.float32)
-        bvh_inputs = [nodes, pad1(pidx_t)]
+        if node_only:
+            bvh_inputs = [nodes]
+        else:
+            pidx_t = scene.accel.prim_index[None, :].astype(jnp.float32)
+            bvh_inputs = [nodes, pad1(pidx_t)]
 
     rows = n_blocks * block_rows
     table_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -2874,6 +3004,75 @@ def pack_bvh_tables(accel, inflate: float = 0.0):
         accel.node_count[:, None].astype(jnp.float32)], axis=1).T  # (9,N)
     pidx = accel.prim_index[None, :].astype(jnp.float32)  # (1,P)
     return nodes, pidx
+
+
+def pack_stream_table(scene):
+    """Scene -> (P_pad, C) f32 HBM table of unified prim rows in BVH
+    leaf order (the stream kernel's DMA source).
+
+    Unified row (STREAM_COLS / STREAM_COLS_VN floats):
+      col 0      tag: 0 = sphere, 1 = triangle, 2 = cube-face triangle
+                 (mask-only: boxes own its closest-hit AND occlusion;
+                 see scene.Geometry.occl_tris), -1 = padding
+      cols 1-13  the tri-table layout (v0.xyz, e1.xyz, e2.xyz, n.xyz,
+                 mat); spheres store center in the v0 slot, radius in
+                 e1.x, mat in col 13
+      cols 14-22 vertex normals n0/n1/n2 (vn scenes only)
+
+    Rows are PERMUTED by accel.prim_index so a leaf's prims are the
+    contiguous rows [node_first, node_first+node_count) - one sliced
+    async_copy per leaf visit. The table is padded by accel.leaf_size
+    tag=-1 rows so the fixed-size DMA window never reads out of bounds.
+    """
+    g = scene.geometry
+    accel = scene.accel
+    f32 = jnp.float32
+    ns = g.sph_center.shape[0]
+    nt = g.tri_v0.shape[0]
+    occl = getattr(g, "occl_tris", -1)
+    nt_occl = nt if occl < 0 else int(occl)
+    has_vn = getattr(g, "tri_vn", None) is not None
+    cols = STREAM_COLS_VN if has_vn else STREAM_COLS
+
+    # Traceable build (runs under jit): assemble per-type row blocks
+    # with jnp and permute with a gather.
+    z = lambda n, c: jnp.zeros((n, c), f32)
+    parts = []
+    if ns:
+        sph_rows = jnp.concatenate([
+            z(ns, 1),                                   # tag 0
+            g.sph_center.astype(f32),                   # cols 1-3
+            g.sph_radius[:, None].astype(f32),          # col 4
+            z(ns, 8),                                   # cols 5-12
+            g.sph_mat[:, None].astype(f32),             # col 13
+        ] + ([z(ns, 9)] if has_vn else []), axis=1)
+        parts.append(sph_rows)
+    if nt:
+        v0 = g.tri_v0.astype(f32)
+        tags = jnp.where(jnp.arange(nt) < nt_occl, 1.0, 2.0)[:, None]
+        tri_parts = [
+            tags,
+            v0,
+            (g.tri_v1.astype(f32) - v0),
+            (g.tri_v2.astype(f32) - v0),
+            g.tri_normal.astype(f32),
+            g.tri_mat[:, None].astype(f32),
+        ]
+        if has_vn:
+            tri_parts.append(g.tri_vn.astype(f32).reshape(nt, 9))
+        parts.append(jnp.concatenate(tri_parts, axis=1))
+    rows = jnp.concatenate(parts, axis=0)
+    rows = jnp.take(rows, accel.prim_index, axis=0)
+    pad = jnp.concatenate(
+        [jnp.full((int(accel.leaf_size), 1), -1.0, f32),
+         z(int(accel.leaf_size), cols - 1)], axis=1)
+    rows = jnp.concatenate([rows, pad], axis=0)
+    # Mosaic models HBM refs as tiled (1D: 1024 elements; 2D: 128-lane
+    # minor) and rejects DMA slices not aligned to the tile, so the row
+    # width pads to STREAM_ROW (one 128-lane tile): arbitrary-ROW slices
+    # of a (P_pad, 128) table are legal, and each leaf visit is one
+    # (leaf_size, 128) chunk.
+    return jnp.pad(rows, ((0, 0), (0, STREAM_ROW - cols)))
 
 
 def pack_bvh4_tables(wide4):
@@ -2972,22 +3171,54 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
 
     mode = _kernel_mode(scene)
     bvh_inputs = []
+    bvh_specs = []
     n_nodes = 0
     wide = False
     max_stack = 0
     scratch = []
+    stream_cols = 0
+    leaf_max = 0
+    table_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     if mode == "bvh":
         nodes, pidx = pack_bvh_tables(scene.accel)
         n_nodes = nodes.shape[1]  # (9, N) transposed layout
         bvh_inputs = [nodes, pidx]
+        bvh_specs = [table_spec(), table_spec()]
         wide4 = getattr(scene.accel, "wide4", None)
         wide = wide4 is not None and _env_wide_bvh()
         if wide:
             bvh_inputs.append(pack_bvh4_tables(wide4))
+            bvh_specs.append(table_spec())
             # +4: slot stores go through stack[sp..sp+3] before the
             # push-count settles (see closest_fn_wide).
             max_stack = wide4.max_stack + 4
             scratch = [pltpu.SMEM((max_stack,), jnp.int32)]
+    elif mode == "stream":
+        # Nodes in SMEM; unified prim rows stay in HBM and stream into
+        # the SMEM scratch per leaf visit (wide walk disabled: the
+        # binary skip walk keeps the scratch story simple, and wide
+        # bought only ~10% on ring scenes). The sph/tri SMEM tables are
+        # exactly what does NOT fit at this scale - replace them with
+        # never-read dummies (the walks read only the streamed rows).
+        sph = jnp.zeros((5, 1), jnp.float32)
+        tri = jnp.zeros((13, 1), jnp.float32)
+        nodes, _ = pack_bvh_tables(scene.accel)
+        n_nodes = nodes.shape[1]
+        stream_tab = pack_stream_table(scene)
+        has_vn = getattr(scene.geometry, "tri_vn", None) is not None
+        stream_cols = STREAM_COLS_VN if has_vn else STREAM_COLS
+        # node_count <= leaf_size is the builder's contract (build_bvh
+        # recurses until a node fits the leaf size).
+        leaf_max = int(scene.accel.leaf_size)
+        bvh_inputs = [nodes, stream_tab]
+        # Explicit HBM (not pl.ANY): the compiler would otherwise place
+        # the table in VMEM, whose tiled layout rejects DMA slices not
+        # 128-aligned on the minor dim; HBM is linear, so the (leaf, C)
+        # row slice is one contiguous chunk.
+        bvh_specs = [table_spec(),
+                     pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        scratch = [pltpu.SMEM((leaf_max, STREAM_ROW), jnp.float32),
+                   pltpu.SemaphoreType.DMA]
 
     kernel = _make_kernel(ns, nt, nl, nm, npl, cfg,
                           start_bounce=start_bounce,
@@ -2999,18 +3230,18 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
                           textures=tuple(getattr(scene.materials,
                                                  "textures", ()) or ()),
                           wide=wide, max_stack=max_stack,
-                          nb=nb, nt_occl=nt_occl)
+                          nb=nb, nt_occl=nt_occl,
+                          stream_cols=stream_cols, leaf_max=leaf_max)
 
     rows = n_blocks * block_rows
     n_out = 13 if return_state else 3
-    table_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     lane_spec = lambda: pl.BlockSpec((block_rows, LANE),
                                      lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[table_spec() for _ in range(len(bvh_inputs) + 6)]
+        in_specs=bvh_specs + [table_spec() for _ in range(6)]
         + [lane_spec() for _ in range(12)],
         out_specs=[lane_spec() for _ in range(n_out)],
         out_shape=[jax.ShapeDtypeStruct((rows, LANE), jnp.float32)

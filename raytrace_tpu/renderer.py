@@ -472,7 +472,7 @@ def pick_block_rows(scene) -> int:
     (tools/sweep_block_rows.py). Unroll/loop modes keep the historical 8
     (>8 measured within noise there, and the committed compilation cache
     for the headline scenes is keyed on it)."""
-    return 16 if megakernel._kernel_mode(scene) == "bvh" else 8
+    return 16 if megakernel._kernel_mode(scene) in ("bvh", "stream") else 8
 
 
 def render_wavefront(scene, *, width: int, height: int, samples: int,

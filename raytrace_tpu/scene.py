@@ -150,9 +150,21 @@ def with_accel(scene: "Scene", leaf_size: Optional[int] = None) -> "Scene":
     if n == 0:
         return scene
     if leaf_size is None:
-        leaf_size = bvh_mod.LEAF_SIZE_DEFAULT
-    return dataclasses.replace(
-        scene, accel=bvh_mod.build_scene_bvh(scene.geometry, leaf_size))
+        leaf_size = _accel_leaf_size(n)
+    accel = bvh_mod.build_scene_bvh(scene.geometry, leaf_size)
+    # The builder keeps numpy leaves (host-side chain); upload once so
+    # jitted render calls don't re-upload the tables every frame.
+    return dataclasses.replace(scene, accel=jax.tree.map(jnp.asarray, accel))
+
+
+def _accel_leaf_size(n: int) -> int:
+    """Default BVH leaf size by scene scale: LEAF_SIZE_DEFAULT for the
+    SMEM packet walk; 32 past MAX_BVH_KERNEL_PRIMS (stream kernel -
+    bigger leaves halve the SMEM node table and amortize the per-leaf
+    DMA; megakernel MAX_STREAM_KERNEL_PRIMS doc)."""
+    from . import bvh as bvh_mod
+    from .ops import megakernel as _mk
+    return 32 if n > _mk.MAX_BVH_KERNEL_PRIMS else bvh_mod.LEAF_SIZE_DEFAULT
 
 
 def _vec3(v, default=(0.0, 0.0, 0.0)) -> List[float]:
@@ -414,7 +426,24 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
             build_accel = build_accel or (
                 ns + nt + npl > mk_mod.UNROLL_PRIM_LIMIT_VN)
     if build_accel:
-        scene = with_accel(scene)
+        # Build from the HOST-side arrays (the jnp Geometry's leaves may
+        # already live on a remote device; pulling them back for the
+        # builder costs device->host RPCs that have stalled for minutes
+        # through the tunnel at >4096 prims). build_scene_bvh only needs
+        # centers/radii/vertices.
+        import types
+        host_geom = types.SimpleNamespace(
+            sph_center=np.array(sph_c, np.float32).reshape(ns, 3),
+            sph_radius=np.array(sph_r, np.float32).reshape(ns),
+            tri_v0=np.array(tri_v0, np.float32).reshape(nt, 3),
+            tri_v1=np.array(tri_v1, np.float32).reshape(nt, 3),
+            tri_v2=np.array(tri_v2, np.float32).reshape(nt, 3))
+        from . import bvh as bvh_mod
+        accel = bvh_mod.build_scene_bvh(host_geom, _accel_leaf_size(ns + nt))
+        # One host->device upload: numpy pytree leaves would otherwise
+        # re-upload on EVERY jitted render call.
+        scene = dataclasses.replace(
+            scene, accel=jax.tree.map(jnp.asarray, accel))
 
     cfg = SceneConfig(
         renderer=data.get("renderer", {}) or {},

@@ -150,14 +150,16 @@ def test_renderer_dof_flag_wires_through():
     r = renderer_mod.Renderer()
     r.set_depth_of_field(True)
     assert r.trace_config().depth_of_field is True
-    # DoF renders must not take the Pallas mask path (affine-camera mask
-    # would be wrong for lens-perturbed rays)
+    # Round 4: DoF renders RUN on the Pallas path - the cone mask widens
+    # by the lens angle + origin-shift slack (megakernel.pixel_mask_pallas
+    # docstring; conservativeness fuzzed in
+    # test_megakernel.test_pixel_cone_mask_conservative_dof).
     scene, _ = scene_mod.from_dict({
         "camera": {"position": [0, 0, 5]},
         "objects": [{"type": "sphere", "position": [0, 0, 0], "radius": 1,
                      "material": {"type": "lambertian", "color": [1, 0, 0]}}],
         "lights": []})
-    assert not r._pallas_ok(scene, r.trace_config())
+    assert r._pallas_ok(scene, r.trace_config())
 
 
 # ---------------------------------------------------------------------------

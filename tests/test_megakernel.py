@@ -278,6 +278,88 @@ def test_bvh_mode_kernel_matches_oracle():
     np.testing.assert_allclose(img, ref_img, atol=1e-4)
 
 
+def test_stream_mode_kernel_matches_oracle(monkeypatch):
+    """DMA-streamed BVH walk (round 4: prim rows in HBM, per-leaf
+    async_copy into SMEM scratch — the >4096-primitive path) matches
+    the jnp oracle bit-for-bit on a mixed sphere/cube/plane scene with
+    soft shadows, and end-to-end through the wavefront driver with its
+    node-only conservative mask. Forced onto a small scene by patching
+    MAX_BVH_KERNEL_PRIMS (same trick as the bvh-mode tests)."""
+    import math
+    from raytrace_tpu import scene as scene_mod
+    objs = []
+    for i in range(20):
+        a = 2 * math.pi * i / 20
+        objs.append({"type": "sphere",
+                     "position": [5 * math.cos(a), 0.5,
+                                  5 * math.sin(a) - 6], "radius": 0.6,
+                     "material": {"type": ["lambertian", "metal",
+                                           "glass"][i % 3],
+                                  "color": [0.6, 0.4, 0.3],
+                                  "roughness": 0.2}})
+    objs.append({"type": "cube", "position": [0, 0, -6],
+                 "size": [1.5, 1.5, 1.5],
+                 "material": {"type": "lambertian",
+                              "color": [0.3, 0.5, 0.7]}})
+    objs.append({"type": "plane", "position": [0, -1.2, 0],
+                 "normal": [0, 1, 0],
+                 "material": {"type": "lambertian",
+                              "color": [0.5, 0.5, 0.5]}})
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 1, 3], "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [4, 8, 4],
+                    "color": [1, 1, 1], "intensity": 2.0}]})
+    s = scene_mod.with_accel(s, leaf_size=4)
+    monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 4)
+    monkeypatch.setattr(mk, "MAX_BVH_KERNEL_PRIMS", 8)
+    assert mk._kernel_mode(s) == "stream"
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+    o, d, pix, samp = _lanes(s, 12, 8, 1, cfg)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg))
+    out = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                     interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+    # end-to-end: node-only conservative mask + compaction + stream trace
+    img = renderer_mod.render_wavefront(s, width=12, height=8, samples=1,
+                                        cfg=cfg)
+    r = rt.Renderer()
+    r.engine, r.samples, r.max_depth = "jnp", 1, 3
+    ref_img = r.render_linear(s, 12, 8)
+    np.testing.assert_allclose(img, ref_img, atol=1e-4)
+
+
+def test_stream_mode_smooth_normals_matches_oracle(monkeypatch):
+    """Stream rows carry the vertex-normal columns (STREAM_COLS_VN);
+    a smooth-shaded mesh matches the oracle through the streamed walk."""
+    from raytrace_tpu import scene as scene_mod
+    import os
+    mesh_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets", "icosphere.obj")
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 4], "aspectRatio": 1.33},
+        "objects": [
+            {"type": "mesh", "path": mesh_path, "position": [0, 0, 0],
+             "scale": 1.2, "smooth": True,
+             "material": {"type": "metal", "color": [0.8, 0.8, 0.9],
+                          "roughness": 0.15}},
+        ],
+        "lights": [{"type": "point", "position": [4, 6, 5],
+                    "color": [1, 1, 1], "intensity": 2.0}]},
+        base_dir=os.path.dirname(mesh_path))
+    s = scene_mod.with_accel(s, leaf_size=4)
+    monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 4)
+    monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT_VN", 4)
+    monkeypatch.setattr(mk, "MAX_BVH_KERNEL_PRIMS", 8)
+    assert mk._kernel_mode(s) == "stream"
+    cfg = trace_mod.TraceConfig(max_depth=2, shadow_samples=1)
+    o, d, pix, samp = _lanes(s, 10, 8, 1, cfg)
+    ref = np.asarray(trace_mod.trace(s, o, d, pix, samp, cfg))
+    out = np.asarray(mk.trace_pallas(s, o, d, pix, samp, cfg,
+                                     interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-6, atol=2e-7)
+
+
 def test_advanced_materials_kernel_matches_oracle():
     """Extended material kinds (subsurface/anisotropic/clearcoat/sheen/
     emission/mirror, advanced_materials.go) run IN the Pallas kernel
