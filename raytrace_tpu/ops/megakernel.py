@@ -86,6 +86,20 @@ def _env_no_fused_soft() -> bool:
     return os.environ.get("RT_NO_FUSED_SOFT", "") == "1"
 
 
+def _env_stream_fused_soft() -> bool:
+    """A/B knob: RT_STREAM_FUSED_SOFT=1 re-enables the fused cone walk
+    for STREAM-mode soft shadows. Default OFF (per-sample walks):
+    measured on TPU 2026-08-20, the fused walk's 0.102*dist cone covers
+    most of a compact >4K-prim scene, so every walk degenerates to
+    near-all-leaf-rows x 16 samples - per-sample tight-slab walks are
+    2.2x faster on the 10K-tri mesh (17.1 -> 7.7 s at 800x600/20spp/d50)
+    and 2.5x on the 5833-sphere grid (51.3 -> 20.3 s at 5 spp), while
+    the SPREAD-OUT ring scenes that motivated the fused walk stay on it
+    in bvh mode (round-2 measurement: 5.0 -> 1.57 s the other way)."""
+    import os
+    return os.environ.get("RT_STREAM_FUSED_SOFT", "") == "1"
+
+
 def _env_soft_prim() -> bool:
     """RT_SOFT_PRIM=0 reverts unroll mode to the ungated sample-outer
     soft-shadow loop (A/B knob vs. the guarded primitive-outer loop;
@@ -1892,7 +1906,9 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         prim_sets = None
                         if (soft_fused_fn is not None
                                 and shadow_samples <= 24
-                                and not _env_no_fused_soft()):
+                                and not _env_no_fused_soft()
+                                and (not stream_mode
+                                     or _env_stream_fused_soft())):
                             # One conservative walk for ALL samples (bvh
                             # mode; bit-identical verdicts, ~1/16th the
                             # walk-step latency).

@@ -61,10 +61,10 @@ def main():
     tmp = tempfile.mkdtemp(prefix="rt_sweep_")
     base = rt.scene_from_dict(mesh_scene_dict(tmp, 4), base_dir=tmp)[0]
     results = {}
-    for leaf in (32, 64, 128):
+    for leaf in (32, 64):
         s = scene_mod.with_accel(base, leaf_size=leaf)
         assert mk._kernel_mode(s) == "stream"
-        for br in ((16, 32) if leaf == 64 else (16,)):
+        for br in (8,):
             t, ref = bench(s, br)
             rays = W * H * SPP / t
             results[(leaf, br)] = t

@@ -4,11 +4,12 @@ Two >4096-primitive workloads that the round-3 framework could only
 render via the chunked-jnp fallback (250-500x slower):
 
   * grid-5833: an 18^3 grid of non-overlapping mixed-material spheres
-    over a ground sphere (non-degenerate by construction - the ring-N
-    scenes interpenetrate past ~60 spheres, BENCHMARKS.md "Engine
-    equivalence");
-  * icosphere-20480: a 4x-subdivided smooth-shaded icosphere mesh (the
-    OBJ-import workload class, models/mesh.py) over a ground sphere.
+    over a ground PLANE (non-degenerate spheres by construction; the
+    plane ground avoids the giant-sphere f32-undecidable grazing
+    predicates, BENCHMARKS.md "Engine equivalence");
+  * ico-10241: two 4x-subdivided smooth-shaded icosphere meshes
+    (10,240 triangles - the OBJ-import workload class, models/mesh.py)
+    over a ground plane.
 
 For each: correctness vs the jnp oracle at small res, then the
 sustained-frame benchmark (device-resident outputs, pipelined batch,
@@ -264,8 +265,8 @@ def main():
         check_equivalence("grid-5833", grid, bvh_bitgate=True)
         check_equivalence("ico-10241", mesh)
     if mode != "--check-only":
-        measure_perf("grid-5833", grid)
-        measure_perf("ico-10241", mesh)
+        measure_perf("grid-5833", grid, spp=5)
+        measure_perf("ico-10241", mesh, spp=20)
 
 
 if __name__ == "__main__":
