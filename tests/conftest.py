@@ -23,6 +23,26 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _bound_memory_maps():
+    """Prevent vm.max_map_count exhaustion over the full suite.
+
+    Every XLA:CPU executable holds JIT'd code in its own mmaps; by
+    ~245 tests the process crosses the kernel's default 65,530-map
+    limit and LLVM segfaults inside backend_compile (observed at the
+    same test deterministically, passing in isolation). Dropping the
+    jit caches un-maps retired executables; gate on the actual map
+    count so the (recompile-cost) clear only fires a few times."""
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 40_000:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def sphere_scene_dict():
     """The sphere_reflections_light.json scene, camera moved to +Z so the
