@@ -69,6 +69,10 @@ class FlatBVH:
     # Optional 4-wide view (see widen4): the megakernel's stack walk does
     # ~4x fewer latency-bound node steps than the binary skip walk.
     wide4: Optional["WideBVH4"] = None
+    # Stream-mode only: the unified HBM prim-row table in leaf order
+    # (megakernel.pack_stream_table), packed once at scene build so
+    # jitted render calls don't re-gather it per frame.
+    stream_tab: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass

@@ -1374,9 +1374,30 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                         bm = bm | jnp.where(hit, jnp.int32(1 << s),
                                             jnp.int32(0))
 
-                delta = dist * np.float32(0.102)
+                # Cone inflation is DISTANCE-PROPORTIONAL (round 5): a
+                # jittered hit at parameter t lies within 0.1002*t of the
+                # central ray, and every point p of a node's box satisfies
+                # |p - origin| <= d_far(box), so inflating that node by
+                # 0.102*min(d_far, dist) still visits a strict superset
+                # of every per-sample walk's leaves. The old constant
+                # 0.102*dist bound made the fused walk degenerate on
+                # compact multi-K-prim scenes (every walk visited nearly
+                # all leaves - the round-4 stream regression); nearby
+                # nodes now get near-zero slack. Same per-node
+                # farthest-corner recipe as pixel_mask_pallas.
+                cone = np.float32(0.102)
                 ivx, ivy, ivz = iv(ldx), iv(ldy), iv(ldz)
                 tminc = np.float32(0.9949) * t_min
+
+                def _node_delta(lox, loy, loz, hix, hiy, hiz):
+                    fx = jnp.maximum((lox - px_) * (lox - px_),
+                                     (hix - px_) * (hix - px_))
+                    fy = jnp.maximum((loy - py_) * (loy - py_),
+                                     (hiy - py_) * (hiy - py_))
+                    fz = jnp.maximum((loz - pz_) * (loz - pz_),
+                                     (hiz - pz_) * (hiz - pz_))
+                    return cone * jnp.minimum(jnp.sqrt(fx + fy + fz),
+                                              dist)
 
                 def _sph_all(get, b3):
                     ocx = px_ - get(0)
@@ -1469,6 +1490,9 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
 
                 def wbody(c):
                     cur, bm2 = c
+                    delta = _node_delta(bvh[0, cur], bvh[1, cur],
+                                        bvh[2, cur], bvh[3, cur],
+                                        bvh[4, cur], bvh[5, cur])
                     t0x = (bvh[0, cur] - delta - px_) * ivx
                     t1x = (bvh[3, cur] + delta - px_) * ivx
                     t0y = (bvh[1, cur] - delta - py_) * ivy
@@ -1510,6 +1534,12 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                     meta = []
                     for s in range(4):
                         b = 9 * s
+                        delta = _node_delta(bvh4[b + 0, cur],
+                                            bvh4[b + 1, cur],
+                                            bvh4[b + 2, cur],
+                                            bvh4[b + 3, cur],
+                                            bvh4[b + 4, cur],
+                                            bvh4[b + 5, cur])
                         t0x = (bvh4[b + 0, cur] - delta - px_) * ivx
                         t1x = (bvh4[b + 3, cur] + delta - px_) * ivx
                         t0y = (bvh4[b + 1, cur] - delta - py_) * ivy
@@ -2372,312 +2402,6 @@ def _affine_camera(scene, go_camera: bool):
     return jnp.stack([origin, A, B, C])  # (4,3)
 
 
-def primary_mask_pallas(scene, pix_id, samp_id, px, py, *, width: int,
-                        height: int, cfg, go_camera: bool = True,
-                        block_rows: int = 64,
-                        interpret: bool | None = None):
-    # block_rows=64 keeps Mosaic's spilled temporaries (which scale with
-    # block size x unrolled primitive count) well under the VMEM limit
-    # even for ~100-primitive scenes; mask throughput is flat 64..1024.
-    """Fused primary-hit mask: jitter -> camera ray -> any-hit, (B,) f32.
-
-    The XLA form materializes rays and per-primitive t arrays to HBM
-    (~25 array passes over 48M lanes); this kernel keeps everything in
-    registers and writes one f32 per lane.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    ns = scene.geometry.sph_center.shape[0]
-    nt = scene.geometry.tri_v0.shape[0]
-    npl = scene.geometry.pl_point.shape[0]
-    mode = _kernel_mode(scene)
-    loop_mode = mode == "loop"
-    use_bvh = mode == "bvh"
-    n_nodes = scene.accel.node_min.shape[0] if use_bvh else 0
-    seed = cfg.seed
-    t_min = np.float32(1e-3)
-    inv_w = np.float32(1.0 / width)
-    inv_h = np.float32(1.0 / height)
-
-    def kernel(*refs):
-        if use_bvh:
-            bvh, pidx = refs[0], refs[1]
-            (sph_ref, tri_ref, pln_ref, cam_ref, pix_ref, samp_ref,
-             px_ref, py_ref, out_ref) = refs[2:]
-        else:
-            (sph_ref, tri_ref, pln_ref, cam_ref, pix_ref, samp_ref,
-             px_ref, py_ref, out_ref) = refs
-        pix = pix_ref[:]
-        samp = samp_ref[:]
-        ju, jv, _, _ = _uniform4(pix, samp, rng.Streams.CAMERA_JITTER,
-                                 seed)
-        u = (px_ref[:] + ju) * inv_w
-        v = (py_ref[:] + jv) * inv_h
-        ox = cam_ref[0, 0] + jnp.zeros_like(u)
-        oy = cam_ref[0, 1] + jnp.zeros_like(u)
-        oz = cam_ref[0, 2] + jnp.zeros_like(u)
-        dx = cam_ref[1, 0] + u * cam_ref[2, 0] + v * cam_ref[3, 0]
-        dy = cam_ref[1, 1] + u * cam_ref[2, 1] + v * cam_ref[3, 1]
-        dz = cam_ref[1, 2] + u * cam_ref[2, 2] + v * cam_ref[3, 2]
-
-        # CONSERVATIVE tests (small epsilon slack): the trace kernel
-        # recomputes rays in a different float op order; a lane this mask
-        # wrongly includes just traces to black, but one wrongly excluded
-        # would lose radiance.
-        eps = np.float32(1e-4)
-        a = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a
-        if use_bvh:
-            # Packet any-hit walk (node AABBs pre-inflated by the caller
-            # so slab-test rounding stays conservative); a block whose
-            # every lane is already marked exits immediately.
-            ivx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-            ivy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-            ivz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-
-            def _sph_row(pid, bf):
-                ocx = ox - sph_ref[0, pid]
-                ocy = oy - sph_ref[1, pid]
-                ocz = oz - sph_ref[2, pid]
-                r = sph_ref[3, pid]
-                half_b = ocx * dx + ocy * dy + ocz * dz
-                c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-                disc = half_b * half_b - a * c
-                ok = disc >= -eps
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                r0 = (-half_b - sq) * inv_a
-                r1 = (-half_b + sq) * inv_a
-                hit = ok & ((r0 >= t_min - eps) | (r1 >= t_min - eps))
-                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
-
-            def _tri_row(tj, bf):
-                e1x, e1y, e1z = (tri_ref[3, tj], tri_ref[4, tj],
-                                 tri_ref[5, tj])
-                e2x, e2y, e2z = (tri_ref[6, tj], tri_ref[7, tj],
-                                 tri_ref[8, tj])
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                det = e1x * hx + e1y * hy + e1z * hz
-                good = jnp.abs(det) >= 1e-7
-                f = 1.0 / jnp.where(good, det, 1.0)
-                sx = ox - tri_ref[0, tj]
-                sy = oy - tri_ref[1, tj]
-                sz = oz - tri_ref[2, tj]
-                uu = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = f * (dx * qx + dy * qy + dz * qz)
-                tj2 = f * (e2x * qx + e2y * qy + e2z * qz)
-                hit = (good & (uu >= -eps) & (uu <= 1.0 + eps)
-                       & (vv >= -eps) & (uu + vv <= 1.0 + eps)
-                       & (tj2 >= t_min - eps))
-                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
-
-            def wcond(c):
-                return c[0] < n_nodes
-
-            def wbody(c):
-                cur, bf = c
-                t0x = (bvh[0, cur] - ox) * ivx
-                t1x = (bvh[3, cur] - ox) * ivx
-                t0y = (bvh[1, cur] - oy) * ivy
-                t1y = (bvh[4, cur] - oy) * ivy
-                t0z = (bvh[2, cur] - oz) * ivz
-                t1z = (bvh[5, cur] - oz) * ivz
-                near = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x),
-                                jnp.minimum(t0y, t1y)),
-                    jnp.maximum(jnp.minimum(t0z, t1z), t_min - eps))
-                far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                              jnp.maximum(t0y, t1y)),
-                                  jnp.maximum(t0z, t1z))
-                want = jnp.where((near <= far) & (bf < 1.0), 1.0, 0.0)
-                boxed = jnp.max(want) > 0.0
-                skip = bvh[6, cur].astype(jnp.int32)
-                first = bvh[7, cur].astype(jnp.int32)
-                cnt = bvh[8, cur].astype(jnp.int32)
-                is_leaf = cnt > 0
-
-                def leafer(bf2):
-                    def lb(j, bf3):
-                        pid = pidx[0, first + j].astype(jnp.int32)
-                        if ns and nt:
-                            return jax.lax.cond(
-                                pid < ns,
-                                lambda b: _sph_row(pid, b),
-                                lambda b: _tri_row(pid - ns, b), bf3)
-                        if ns:
-                            return _sph_row(pid, bf3)
-                        return _tri_row(pid, bf3)
-                    return jax.lax.fori_loop(0, cnt, lb, bf2)
-
-                bf = jax.lax.cond(boxed & is_leaf, leafer,
-                                  lambda b: b, bf)
-                done = jnp.min(bf) >= 1.0
-                nxt = jnp.where(done, n_nodes,
-                                jnp.where(boxed & (~is_leaf), cur + 1,
-                                          skip))
-                return nxt, bf
-
-            bf0 = jnp.zeros(u.shape)
-            _, bf = jax.lax.while_loop(wcond, wbody, (jnp.int32(0), bf0))
-            if npl:
-                def pln_row(j, b):
-                    denom = (dx * pln_ref[3, j] + dy * pln_ref[4, j]
-                             + dz * pln_ref[5, j])
-                    para = denom == 0.0
-                    tj = ((pln_ref[0, j] - ox) * pln_ref[3, j]
-                          + (pln_ref[1, j] - oy) * pln_ref[4, j]
-                          + (pln_ref[2, j] - oz) * pln_ref[5, j]) \
-                        / jnp.where(para, 1.0, denom)
-                    hit = (~para) & (tj >= t_min - eps)
-                    return jnp.maximum(b, jnp.where(hit, 1.0, 0.0))
-                bf = jax.lax.fori_loop(0, npl, pln_row, bf)
-            out_ref[:] = bf
-            return
-        if loop_mode:
-            def sph_body(j, bf):
-                ocx = ox - sph_ref[0, j]
-                ocy = oy - sph_ref[1, j]
-                ocz = oz - sph_ref[2, j]
-                r = sph_ref[3, j]
-                half_b = ocx * dx + ocy * dy + ocz * dz
-                c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-                disc = half_b * half_b - a * c
-                ok = disc >= -eps
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                r0 = (-half_b - sq) * inv_a
-                r1 = (-half_b + sq) * inv_a
-                hit = ok & ((r0 >= t_min - eps) | (r1 >= t_min - eps))
-                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
-
-            def tri_body(j, bf):
-                e1x, e1y, e1z = (tri_ref[3, j], tri_ref[4, j],
-                                 tri_ref[5, j])
-                e2x, e2y, e2z = (tri_ref[6, j], tri_ref[7, j],
-                                 tri_ref[8, j])
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                det = e1x * hx + e1y * hy + e1z * hz
-                good = jnp.abs(det) >= 1e-7
-                f = 1.0 / jnp.where(good, det, 1.0)
-                sx = ox - tri_ref[0, j]
-                sy = oy - tri_ref[1, j]
-                sz = oz - tri_ref[2, j]
-                uu = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                vv = f * (dx * qx + dy * qy + dz * qz)
-                tj = f * (e2x * qx + e2y * qy + e2z * qz)
-                hit = (good & (uu >= -eps) & (uu <= 1.0 + eps)
-                       & (vv >= -eps) & (uu + vv <= 1.0 + eps)
-                       & (tj >= t_min - eps))
-                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
-
-            def pln_body(j, bf):
-                denom = (dx * pln_ref[3, j] + dy * pln_ref[4, j]
-                         + dz * pln_ref[5, j])
-                para = denom == 0.0
-                tj = ((pln_ref[0, j] - ox) * pln_ref[3, j]
-                      + (pln_ref[1, j] - oy) * pln_ref[4, j]
-                      + (pln_ref[2, j] - oz) * pln_ref[5, j]) \
-                    / jnp.where(para, 1.0, denom)
-                hit = (~para) & (tj >= t_min - eps)
-                return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
-
-            bf = jnp.zeros(u.shape)
-            if ns:
-                bf = jax.lax.fori_loop(0, ns, sph_body, bf)
-            if nt:
-                bf = jax.lax.fori_loop(0, nt, tri_body, bf)
-            if npl:
-                bf = jax.lax.fori_loop(0, npl, pln_body, bf)
-            out_ref[:] = bf
-            return
-        blocked = jnp.zeros(u.shape, bool)
-        for j in range(ns):
-            cx, cy, cz, r = (sph_ref[0, j], sph_ref[1, j], sph_ref[2, j],
-                             sph_ref[3, j])
-            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-            half_b = ocx * dx + ocy * dy + ocz * dz
-            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            disc = half_b * half_b - a * c
-            ok = disc >= -eps
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            r0 = (-half_b - sq) * inv_a
-            r1 = (-half_b + sq) * inv_a
-            blocked |= ok & ((r0 >= t_min - eps) | (r1 >= t_min - eps))
-        for j in range(nt):
-            v0x, v0y, v0z = tri_ref[0, j], tri_ref[1, j], tri_ref[2, j]
-            e1x, e1y, e1z = tri_ref[3, j], tri_ref[4, j], tri_ref[5, j]
-            e2x, e2y, e2z = tri_ref[6, j], tri_ref[7, j], tri_ref[8, j]
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            det = e1x * hx + e1y * hy + e1z * hz
-            good = jnp.abs(det) >= 1e-7
-            f = 1.0 / jnp.where(good, det, 1.0)
-            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
-            uu = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            vv = f * (dx * qx + dy * qy + dz * qz)
-            tj = f * (e2x * qx + e2y * qy + e2z * qz)
-            blocked |= (good & (uu >= -eps) & (uu <= 1.0 + eps)
-                        & (vv >= -eps) & (uu + vv <= 1.0 + eps)
-                        & (tj >= t_min - eps))
-        for j in range(npl):
-            denom = (dx * pln_ref[3, j] + dy * pln_ref[4, j]
-                     + dz * pln_ref[5, j])
-            para = jnp.abs(denom) <= 0.0
-            tj = ((pln_ref[0, j] - ox) * pln_ref[3, j]
-                  + (pln_ref[1, j] - oy) * pln_ref[4, j]
-                  + (pln_ref[2, j] - oz) * pln_ref[5, j])                 / jnp.where(para, 1.0, denom)
-            blocked |= (~para) & (tj >= t_min - eps)
-        out_ref[:] = jnp.where(blocked, 1.0, 0.0)
-
-    B = pix_id.shape[0]
-    blk = block_rows * LANE
-    n_blocks = -(-B // blk)
-    pad = n_blocks * blk - B
-    prep = lambda x: jnp.pad(x, (0, pad)).reshape(-1, LANE)
-
-    sph, tri, pln, lit, mat = pack_tables(scene)
-    pad1 = lambda a: a if a.shape[-1] else jnp.zeros(a.shape[:-1] + (1,),
-                                                     a.dtype)
-    sph, tri, pln = pad1(sph), pad1(tri), pad1(pln)
-    cam = _affine_camera(scene, go_camera)
-
-    bvh_inputs = []
-    if use_bvh:
-        # Inflated boxes keep the mask conservative (see pack_bvh_tables).
-        nodes, pidx_t = pack_bvh_tables(scene.accel, inflate=1e-3)
-        bvh_inputs = [nodes, pidx_t]
-
-    rows = n_blocks * block_rows
-    table_spec = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    lane_spec = lambda: pl.BlockSpec((block_rows, LANE), lambda i: (i, 0),
-                                     memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[table_spec() for _ in range(len(bvh_inputs) + 4)]
-        + [lane_spec() for _ in range(4)],
-        out_specs=lane_spec(),
-        out_shape=jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
-        interpret=interpret,
-    )(*bvh_inputs, sph, tri, pln, cam, prep(pix_id.astype(jnp.uint32)),
-      prep(samp_id.astype(jnp.uint32)),
-      prep(px.astype(jnp.float32)), prep(py.astype(jnp.float32)))
-    return out.reshape(-1)[:B]
-
-
 def _bsphere_table(scene):
     """(4, ns+nt) bounding-sphere SMEM table for the cone mask.
 
@@ -2718,9 +2442,10 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
                       interpret: bool | None = None):
     """Per-PIXEL conservative primary mask: one central ray per pixel.
 
-    The per-lane mask (primary_mask_pallas) tests all W*H*spp jittered
-    rays - at 100 spp that pass costs ~22 ms of the headline scene's
-    ~25 ms frame. This kernel tests ONE ray per pixel (the pixel center)
+    The round-2 per-lane mask (primary_mask_pallas, deleted round 5 once
+    every caller moved here) tested all W*H*spp jittered rays - at
+    100 spp that pass cost ~22 ms of the headline scene's ~25 ms frame.
+    This kernel tests ONE ray per pixel (the pixel center)
     against primitives inflated by the pixel's ray cone, giving a
     spp-independent mask that costs 1/spp as much:
 
@@ -3220,7 +2945,12 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
         tri = jnp.zeros((13, 1), jnp.float32)
         nodes, _ = pack_bvh_tables(scene.accel)
         n_nodes = nodes.shape[1]
-        stream_tab = pack_stream_table(scene)
+        # Prefer the build-time packed table (scene._attach_stream_table);
+        # the in-graph rebuild is kept for hand-built scenes that attach
+        # an accel without going through with_accel/from_dict.
+        stream_tab = getattr(scene.accel, "stream_tab", None)
+        if stream_tab is None:
+            stream_tab = pack_stream_table(scene)
         has_vn = getattr(scene.geometry, "tri_vn", None) is not None
         stream_cols = STREAM_COLS_VN if has_vn else STREAM_COLS
         # node_count <= leaf_size is the builder's contract (build_bvh

@@ -229,18 +229,19 @@ def _compact_pixels(hit_px, pos_px, *, k_pad: int):
 
 @partial(jax.jit, static_argnames=("k_pad", "width", "height", "samples",
                                    "cfg", "go_camera", "block_rows",
-                                   "split", "surv_cap"))
+                                   "split", "surv_cap", "sum_image"))
 def _compact_and_trace(scene, hit_px, pos_px, k_px, *, k_pad: int,
                        width: int, height: int, samples: int,
                        cfg: trace_mod.TraceConfig, go_camera: bool,
-                       block_rows: int, split: int = 0, surv_cap: int = 0):
+                       block_rows: int, split: int = 0, surv_cap: int = 0,
+                       samp_base=None, sum_image: bool = False):
     """Fused stage 2: pixel compaction + trace in one dispatch (one RPC
     round-trip matters when the TPU is reached through a tunnel)."""
     px_cidx = _compact_pixels.__wrapped__(hit_px, pos_px, k_pad=k_pad)
     return _trace_compacted_pixels.__wrapped__(
         scene, px_cidx, k_px, width=width, height=height, samples=samples,
         cfg=cfg, go_camera=go_camera, block_rows=block_rows, split=split,
-        surv_cap=surv_cap)
+        surv_cap=surv_cap, samp_base=samp_base, sum_image=sum_image)
 
 
 def trace_with_split(scene, origin, direction, pix, samp, cfg, *,
@@ -288,12 +289,13 @@ def trace_with_split(scene, origin, direction, pix, samp, cfg, *,
 
 @partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
                                    "go_camera", "block_rows", "split",
-                                   "surv_cap"))
+                                   "surv_cap", "sum_image"))
 def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
                             height: int, samples: int,
                             cfg: trace_mod.TraceConfig, go_camera: bool,
                             block_rows: int, split: int = 0,
-                            surv_cap: int = 0):
+                            surv_cap: int = 0, samp_base=None,
+                            sum_image: bool = False):
     """Stage 2: regenerate rays for compacted pixels, trace, segment-add
     per-pixel sums back into the image.
 
@@ -314,6 +316,11 @@ def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
     # coherent, and the sort/gather overhead exceeds the early-exit gain.)
     pix_c = jnp.repeat(px_cidx.astype(jnp.uint32), samples)
     samp_c = jnp.tile(jnp.arange(samples, dtype=jnp.uint32), k_pad)
+    if samp_base is not None:
+        # spp-chunked dispatch (render_wavefront_chunked): this call
+        # covers global sample ids [samp_base, samp_base + samples) -
+        # traced, so every full-size chunk reuses one compiled program.
+        samp_c = samp_c + jnp.asarray(samp_base, jnp.uint32)
     origin, direction = _lane_rays(scene, pix_c, samp_c, width=width,
                                    height=height, cfg=cfg,
                                    go_camera=go_camera)
@@ -328,6 +335,8 @@ def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
     target = jnp.where(valid, px_cidx, n_px)
     img = jnp.zeros((n_px, 3), rad.dtype).at[target].add(px_sum,
                                                          mode="drop")
+    if sum_image:  # chunked accumulation: caller divides by total spp
+        return img.reshape(height, width, 3), overflow
     return (img / samples).reshape(height, width, 3), overflow
 
 
@@ -560,6 +569,106 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
             go_camera=go_camera, block_rows=block_rows, split=0)
     if post is not None:
         img = post(img)  # first frame only; steady state fuses it
+    return np.asarray(img) if as_numpy else img
+
+
+def pick_chunk_spp(scene, samples: int, cfg) -> int:
+    """Samples per dispatch for render_wavefront_chunked.
+
+    Stream-tier scenes (> MAX_BVH_KERNEL_PRIMS) at production spp can
+    exceed a single dispatch's practical budget (this environment's
+    tunneled worker kills executions past ~60-90 s; any runtime benefits
+    from bounded dispatches). Per-frame cost is linear in spp, so the
+    policy is a fixed per-dispatch sample budget; RT_CHUNK_SPP overrides.
+    Other kernel modes render whole frames in one dispatch (headline
+    frames are milliseconds)."""
+    import os
+    forced = os.environ.get("RT_CHUNK_SPP", "")
+    if forced:
+        return max(1, int(forced))
+    if megakernel._kernel_mode(scene) == "stream":
+        return min(samples, 10)
+    return samples
+
+
+def render_wavefront_chunked(scene, *, width: int, height: int,
+                             samples: int, cfg: trace_mod.TraceConfig,
+                             chunk: Optional[int] = None,
+                             go_camera: bool = True,
+                             block_rows: Optional[int] = None,
+                             as_numpy: bool = True,
+                             assume_capacity: bool = False, post=None):
+    """render_wavefront split into sample rounds of <= `chunk` dispatches.
+
+    Round r covers global sample ids [r*chunk, r*chunk + c): the counter
+    RNG keys every draw off (pixel, sample, ...), so each round's lanes
+    are exactly the lanes the single-dispatch render would trace, and
+    per-pixel round sums accumulate on device in the same ascending
+    sample order (one f32 add per round boundary). The full-frame image
+    is pulled once at the end. This is how stream-tier scenes complete
+    production-spp frames under a bounded per-dispatch budget (the Go
+    reference renders any scene to completion, cmd/raytracer/main.go:51;
+    a 100-spp stream dispatch here would exceed the tunneled worker's
+    execution watchdog).
+
+    The per-pixel cone mask is spp-independent, so it runs ONCE and all
+    rounds share its compaction (and one capacity k_pad).
+    """
+    if block_rows is None:
+        block_rows = pick_block_rows(scene)
+    if chunk is None:
+        chunk = pick_chunk_spp(scene, samples, cfg)
+    chunk = max(1, min(chunk, samples))
+    if chunk >= samples:
+        return render_wavefront(
+            scene, width=width, height=height, samples=samples, cfg=cfg,
+            go_camera=go_camera, block_rows=block_rows, as_numpy=as_numpy,
+            assume_capacity=assume_capacity, post=post)
+
+    quantum = max(1, (block_rows * megakernel.LANE) // max(1, chunk))
+    cache_key = (width, height, samples, cfg, go_camera, block_rows,
+                 post, "chunked", chunk)
+    k_pad = _KPAD_CACHE.get(cache_key)
+    # NOTE: the mask sees the FULL sample count: the TPU cone mask is
+    # spp-independent anyway, and the CPU exact mask enumerates sample
+    # ids, which must cover every round's jitter (ids 0..samples-1).
+    if k_pad is None or not assume_capacity:
+        hit_px, pos_px, k_dev = _pixel_mask(
+            scene, width=width, height=height, samples=samples, cfg=cfg,
+            go_camera=go_camera)
+        k_px = int(k_dev)  # host sync sizes the launch
+        if k_px <= 0:
+            z = jnp.zeros((height, width, 3), jnp.float32)
+            if post is not None:
+                z = post(z)
+            return np.asarray(z) if as_numpy else z
+        k_pad = min(_pad_bucket(k_px, quantum), width * height)
+        _kpad_cache_put(cache_key, k_pad)
+        k_dev = jnp.int32(k_px)
+    else:
+        # Steady state: skip the k_px sync; the device-side count is
+        # validated with the batch via flush_capacity_checks().
+        hit_px, pos_px, k_dev = _pixel_mask(
+            scene, width=width, height=height, samples=samples, cfg=cfg,
+            go_camera=go_camera)
+        _PENDING_CHECKS.append((cache_key, k_dev, k_pad, jnp.int32(0)))
+        if len(_PENDING_CHECKS) > 1024:
+            flush_capacity_checks()
+
+    img_sum = None
+    s0 = 0
+    while s0 < samples:
+        c = min(chunk, samples - s0)
+        part, _ = _compact_and_trace(
+            scene, hit_px, pos_px, k_dev, k_pad=k_pad, width=width,
+            height=height, samples=c, cfg=cfg, go_camera=go_camera,
+            block_rows=block_rows, split=0,
+            samp_base=jnp.uint32(s0), sum_image=True)
+        img_sum = part if img_sum is None else img_sum + part
+        s0 += c
+    img = img_sum / samples
+    if post is not None:
+        img = post(img)
     return np.asarray(img) if as_numpy else img
 
 

@@ -150,11 +150,35 @@ def with_accel(scene: "Scene", leaf_size: Optional[int] = None) -> "Scene":
     if n == 0:
         return scene
     if leaf_size is None:
-        leaf_size = _accel_leaf_size(n)
+        # Use the same primitive count _kernel_mode thresholds on
+        # (spheres + triangles + planes) so the leaf-size policy and the
+        # stream/bvh mode decision can't disagree for plane-heavy scenes.
+        leaf_size = _accel_leaf_size(n + scene.geometry.pl_point.shape[0])
     accel = bvh_mod.build_scene_bvh(scene.geometry, leaf_size)
     # The builder keeps numpy leaves (host-side chain); upload once so
     # jitted render calls don't re-upload the tables every frame.
-    return dataclasses.replace(scene, accel=jax.tree.map(jnp.asarray, accel))
+    scene = dataclasses.replace(scene,
+                                accel=jax.tree.map(jnp.asarray, accel))
+    return _attach_stream_table(scene)
+
+
+def _attach_stream_table(scene: "Scene") -> "Scene":
+    """For stream-scale scenes (> MAX_BVH_KERNEL_PRIMS), pack the unified
+    HBM prim-row table ONCE at build time and hang it off the accel.
+    trace_pallas otherwise rebuilds it inside every jitted render call -
+    a full-table gather+pad per frame for a static scene (up to ~134 MB
+    at the 262,144-prim cap)."""
+    from .ops import megakernel as _mk
+    if getattr(scene, "accel", None) is None:
+        return scene
+    n = (scene.geometry.sph_center.shape[0]
+         + scene.geometry.tri_v0.shape[0]
+         + scene.geometry.pl_point.shape[0])
+    if n <= _mk.MAX_BVH_KERNEL_PRIMS:
+        return scene
+    tab = _mk.pack_stream_table(scene)
+    return dataclasses.replace(
+        scene, accel=dataclasses.replace(scene.accel, stream_tab=tab))
 
 
 def _accel_leaf_size(n: int) -> int:
@@ -439,11 +463,16 @@ def from_dict(data: Dict[str, Any], go_parity: bool = False,
             tri_v1=np.array(tri_v1, np.float32).reshape(nt, 3),
             tri_v2=np.array(tri_v2, np.float32).reshape(nt, 3))
         from . import bvh as bvh_mod
-        accel = bvh_mod.build_scene_bvh(host_geom, _accel_leaf_size(ns + nt))
+        # Leaf-size policy keyed on the SAME count _kernel_mode uses
+        # (spheres + triangles + planes), so plane-heavy scenes pushed
+        # into stream mode get the stream-tuned leaf size.
+        accel = bvh_mod.build_scene_bvh(host_geom,
+                                        _accel_leaf_size(ns + nt + npl))
         # One host->device upload: numpy pytree leaves would otherwise
         # re-upload on EVERY jitted render call.
         scene = dataclasses.replace(
             scene, accel=jax.tree.map(jnp.asarray, accel))
+        scene = _attach_stream_table(scene)
 
     cfg = SceneConfig(
         renderer=data.get("renderer", {}) or {},
