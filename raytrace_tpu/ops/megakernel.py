@@ -30,6 +30,8 @@ shadow sampling renderer.go:299-331, tMin=1e-3 everywhere).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -1388,8 +1390,13 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 cone = np.float32(0.102)
                 ivx, ivy, ivz = iv(ldx), iv(ldy), iv(ldz)
                 tminc = np.float32(0.9949) * t_min
+                # A/B knob: RT_CONE_CONST=1 reverts to the round-2
+                # constant 0.102*dist inflation (read at trace time).
+                _cone_const = os.environ.get("RT_CONE_CONST", "") == "1"
 
                 def _node_delta(lox, loy, loz, hix, hiy, hiz):
+                    if _cone_const:
+                        return cone * dist
                     fx = jnp.maximum((lox - px_) * (lox - px_),
                                      (hix - px_) * (hix - px_))
                     fy = jnp.maximum((loy - py_) * (loy - py_),

@@ -104,7 +104,8 @@ def heartbeat() -> np.ndarray:
 
 
 def rerender_missing_rows(renderer, scene, partial_img: np.ndarray,
-                          missing_rows, width: int, height: int):
+                          missing_rows, width: int, height: int,
+                          cfg=None):
     """Elastic recovery: re-render only the rows a failed worker lost.
 
     The working replacement for the reference's `failedJobs` counter
@@ -126,7 +127,8 @@ def rerender_missing_rows(renderer, scene, partial_img: np.ndarray,
             bands[-1][1] = r + 1
         else:
             bands.append([r, r + 1])
-    cfg = renderer.trace_config()
+    if cfg is None:
+        cfg = renderer.trace_config()
     for y0, y1 in bands:
         band = renderer_mod.render_band(
             scene, jnp.int32(y0), width=width, height=height,
