@@ -784,6 +784,10 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
             bvh, stream_hbm = refs[0], refs[1]
             stream_scr, dma_sem = refs[-2], refs[-1]
             i0 = 2
+            if wide:
+                bvh4 = refs[2]
+                stack_ref = refs[-3]
+                i0 = 3
         sph, tri, pln, box, lit, mtab = refs[i0:i0 + 6]
         pix_ref, samp_ref = refs[i0 + 6], refs[i0 + 7]
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -1461,6 +1465,42 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                                             jnp.int32(0))
                     return b3
 
+                # Per-ROW conservative cone guard (round 5, stream mode):
+                # before paying the 16-sample tests for a row, one cheap
+                # central-ray test against the row's bounding sphere
+                # decides whether ANY sample could hit it. The mesh
+                # decomposition showed 64% of the fused soft cost is the
+                # per-sample row tests (soft4 4.37 s vs soft16 6.34 s vs
+                # hard 2.23 s at 20 spp), unlike unroll mode where the
+                # guard idea already pays (soft_prim_sets_fn). Skipping
+                # is BIT-EXACT: a skipped row could not flip any needing
+                # lane's verdict — if sample s hits the row at t in
+                # [t_min, dist], the hit point h lies in the row's
+                # bounding sphere (m, br), within 0.1002*min(t, dist) of
+                # the central LINE, and projects to g in
+                # [0.9949*t_min - br, dist + br]; the guard tests exactly
+                # those conditions with fp slack. RT_SOFT_ROW_GUARD=0
+                # disables for A/B.
+                row_guard = stream_mode and os.environ.get(
+                    "RT_SOFT_ROW_GUARD", "1") != "0"
+                eps_g = np.float32(1e-3)
+
+                def _row_can(mx, my, mz, br, b3):
+                    ocx, ocy, ocz = mx - px_, my - py_, mz - pz_
+                    oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+                    g = ocx * ldx + ocy * ldy + ocz * ldz
+                    dper2 = oc2 - g * g
+                    ocn = jnp.sqrt(oc2)
+                    slack = (eps_g + np.float32(1e-3) * br
+                             + np.float32(1e-4) * ocn)
+                    rhs = (br + cone * jnp.minimum(ocn + br, dist)
+                           + slack)
+                    can = ((dper2 <= rhs * rhs)
+                           & (g >= -(br + slack))
+                           & (g <= dist + br + slack)
+                           & (b3 < FULL))
+                    return jnp.max(jnp.where(can, 1.0, 0.0)) > 0.0
+
                 def _leaf_all(first, cnt, b2):
                     if stream_mode:
                         _dma_leaf(first)
@@ -1471,11 +1511,56 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                             trif = lambda b: _tri_all(_tget(j),
                                                       tag == 1, b)
                             if ns and nt:
-                                return jax.lax.cond(tag == 0, sphf,
-                                                    trif, b3)
-                            if ns:
-                                return sphf(b3)
-                            return trif(b3)
+                                test = lambda b: jax.lax.cond(
+                                    tag == 0, sphf, trif, b)
+                            elif ns:
+                                test = sphf
+                            else:
+                                test = trif
+                            if not row_guard:
+                                return test(b3)
+                            # Row bounding sphere (scalar math): sphere
+                            # rows keep center in the v0 slot, radius in
+                            # e1.x; triangle rows use the centroid +
+                            # max-vertex-distance sphere (the same
+                            # construction as soft_prim_sets_fn).
+                            v0x, v0y, v0z = (stream_scr[j, 1],
+                                             stream_scr[j, 2],
+                                             stream_scr[j, 3])
+                            e1x, e1y, e1z = (stream_scr[j, 4],
+                                             stream_scr[j, 5],
+                                             stream_scr[j, 6])
+                            e2x, e2y, e2z = (stream_scr[j, 7],
+                                             stream_scr[j, 8],
+                                             stream_scr[j, 9])
+                            third = np.float32(1.0 / 3.0)
+                            cx3 = (e1x + e2x) * third
+                            cy3 = (e1y + e2y) * third
+                            cz3 = (e1z + e2z) * third
+                            d0 = cx3 * cx3 + cy3 * cy3 + cz3 * cz3
+                            d1 = ((e1x - cx3) ** 2 + (e1y - cy3) ** 2
+                                  + (e1z - cz3) ** 2)
+                            d2 = ((e2x - cx3) ** 2 + (e2y - cy3) ** 2
+                                  + (e2z - cz3) ** 2)
+                            br_t = jnp.sqrt(
+                                jnp.maximum(d0, jnp.maximum(d1, d2)))
+                            if ns and nt:
+                                is_s = tag == 0
+                                z32 = jnp.float32(0.0)
+                                mx = v0x + jnp.where(is_s, z32, cx3)
+                                my = v0y + jnp.where(is_s, z32, cy3)
+                                mz = v0z + jnp.where(is_s, z32, cz3)
+                                br = jnp.where(is_s, e1x, br_t)
+                            elif ns:
+                                mx, my, mz, br = v0x, v0y, v0z, e1x
+                            else:
+                                mx = v0x + cx3
+                                my = v0y + cy3
+                                mz = v0z + cz3
+                                br = br_t
+                            return jax.lax.cond(
+                                _row_can(mx, my, mz, br, b3), test,
+                                lambda b: b, b3)
                         return jax.lax.fori_loop(0, cnt, lb, b2)
 
                     def lb(j, b3):
@@ -2943,9 +3028,7 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
             scratch = [pltpu.SMEM((max_stack,), jnp.int32)]
     elif mode == "stream":
         # Nodes in SMEM; unified prim rows stay in HBM and stream into
-        # the SMEM scratch per leaf visit (wide walk disabled: the
-        # binary skip walk keeps the scratch story simple, and wide
-        # bought only ~10% on ring scenes). The sph/tri SMEM tables are
+        # the SMEM scratch per leaf visit. The sph/tri SMEM tables are
         # exactly what does NOT fit at this scale - replace them with
         # never-read dummies (the walks read only the streamed rows).
         sph = jnp.zeros((5, 1), jnp.float32)
@@ -2970,8 +3053,25 @@ def trace_pallas(scene, origin, direction, pix_id, samp_id, cfg,
         # row slice is one contiguous chunk.
         bvh_specs = [table_spec(),
                      pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
-        scratch = [pltpu.SMEM((leaf_max, STREAM_ROW), jnp.float32),
-                   pltpu.SemaphoreType.DMA]
+        # 4-wide stack walk (round 5): the closest-hit walks are >half a
+        # dense glass-grid frame, and the 4-ary walk cuts the
+        # latency-bound node steps ~4x. Joint SMEM budget gate: binary
+        # nodes + the 36-row slot table + the DMA leaf scratch must fit
+        # scalar memory (near the 262144-prim cap only the binary walk
+        # fits; RT_WIDE_BVH=0 forces binary for A/B).
+        wide4 = getattr(scene.accel, "wide4", None)
+        if wide4 is not None and _env_wide_bvh():
+            n_wide = wide4.slot_min.shape[0]
+            smem_bytes = 4 * (nodes.size + 36 * n_wide
+                              + leaf_max * STREAM_ROW)
+            wide = smem_bytes <= 700_000
+        if wide:
+            bvh_inputs.append(pack_bvh4_tables(wide4))
+            bvh_specs.append(table_spec())
+            max_stack = wide4.max_stack + 4
+        scratch = (([pltpu.SMEM((max_stack,), jnp.int32)] if wide else [])
+                   + [pltpu.SMEM((leaf_max, STREAM_ROW), jnp.float32),
+                      pltpu.SemaphoreType.DMA])
 
     kernel = _make_kernel(ns, nt, nl, nm, npl, cfg,
                           start_bounce=start_bounce,
