@@ -51,14 +51,22 @@ DIFF_FIELDS = {
 }
 
 
-def split_params(scene: Scene):
+def split_params(scene: Scene, keep_accel: bool = False):
     """Scene -> (params dict, closure rebuilding a Scene from params).
 
     params holds only the differentiable arrays; everything else (material
     kinds, mat-id tables, counts, triangle normals') stays in the closure.
     Triangle face normals are re-derived from the vertices inside merge so
     vertex gradients flow through shading normals too.
-    """
+
+    ``keep_accel=False`` (default) drops the scene's BVH inside merge —
+    the tree was built for the ORIGINAL geometry, and optimizing
+    centers/radii/vertices under a stale tree can cull moved primitives.
+    Pass keep_accel=True only when the caller freezes every geometry
+    parameter (make_train_step's param_filter): the accel walk then
+    serves the forward hit at tree cost, and reverse-mode AD works
+    through it (intersect._closest_hit_accel runs the walk under
+    stop_gradient with a straight-through differentiable winner t)."""
     params: Dict[str, Dict[str, Any]] = {
         group: {f: getattr(getattr(scene, group), f) for f in fields}
         for group, fields in DIFF_FIELDS.items()
@@ -93,6 +101,7 @@ def split_params(scene: Scene):
             materials=dataclasses.replace(scene.materials, **p["materials"]),
             lights=dataclasses.replace(scene.lights, **p["lights"]),
             camera=dataclasses.replace(scene.camera, **p["camera"]),
+            accel=scene.accel if keep_accel else None,
         )
 
     return params, merge

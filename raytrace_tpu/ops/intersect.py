@@ -60,8 +60,15 @@ def sphere_t(origin, direction, center, radius, t_min, t_max):
     ok = disc >= 0.0
     # Double-where: sqrt's gradient at 0 is inf, and a plain
     # sqrt(max(disc,0)) poisons reverse-mode AD with inf*0=NaN on every
-    # missing lane. Clamp the *input* on masked lanes instead.
-    sqrtd = jnp.sqrt(jnp.where(ok, disc, 1.0))
+    # missing lane. Clamp the *input* on masked lanes instead. EXACT
+    # tangent rays (disc == 0, accepted by the >= parity test) would
+    # still see sqrt's infinite derivative: keep their forward value and
+    # zero their gradient (round 5 - a 1000-sphere grid at low res hits
+    # this measure-zero set in practice).
+    pos = jax.lax.stop_gradient(disc) > 0.0
+    sqrtd = jnp.where(
+        pos, jnp.sqrt(jnp.where(pos, disc, 1.0)),
+        jax.lax.stop_gradient(jnp.sqrt(jnp.where(ok, disc, 1.0))))
     inv_a = 1.0 / a
     root0 = (-half_b - sqrtd) * inv_a
     root1 = (-half_b + sqrtd) * inv_a
@@ -438,7 +445,14 @@ def _hit_from_tidx(geom, origin, direction, t, idx) -> Hit:
     nbx = getattr(geom, "box_min", jnp.zeros((0, 3))).shape[0]
     hit = t < BIG
 
-    point = origin + direction * t[..., None]
+    # Geometric attributes evaluate at a CLAMPED t on miss lanes: with
+    # t = BIG the point overflows f32 to inf, and although every miss
+    # lane's shading is masked downstream, reverse-mode AD multiplies
+    # the zero cotangent into the inf chain and poisons parameter
+    # gradients with NaN (observed: sphere 0's radius, the winner-index
+    # placeholder for every miss lane). Hit.t keeps the BIG sentinel.
+    t_geo = jnp.where(hit, t, jnp.ones_like(t))
+    point = origin + direction * t_geo[..., None]
 
     is_sphere = idx < ns if ns else jnp.zeros(B, bool)
     is_box = idx >= (ns + nt + npl) if nbx else jnp.zeros(B, bool)
@@ -512,14 +526,77 @@ def _hit_from_tidx(geom, origin, direction, t, idx) -> Hit:
                front_face=front_face, mat_id=mat_id.astype(jnp.int32))
 
 
+def _winner_t_diff(geom, origin, direction, t_walk, pid):
+    """Straight-through differentiable hit distance for the walk winner.
+
+    The BVH walk (lax.while_loop) cannot be reverse-differentiated, so
+    _closest_hit_accel runs it under stop_gradient and re-derives the
+    winner's t from its GATHERED parameters with the smooth closed-form
+    expressions; the straight-through combination
+        t = t_walk + (t_diff - stop_gradient(t_diff))
+    keeps the forward value bit-identical to the walk (the correction
+    term is exactly 0.0 at runtime) while t carries the winner's
+    pathwise gradient w.r.t. origin/direction/geometry - the same
+    gradient the brute-force where-select path yields almost everywhere
+    (which primitive wins is piecewise constant in the parameters).
+    Sphere lanes pick whichever closed-form root reproduces the walk's t
+    (near-else-far, resolved under stop_gradient)."""
+    sg = jax.lax.stop_gradient
+    pid = sg(pid)
+    tw = sg(t_walk)
+    ns = geom.sph_center.shape[0]
+    nt = geom.tri_v0.shape[0]
+    t_s = t_t = None
+    if ns:
+        sp = jnp.clip(pid, 0, ns - 1)
+        c = jnp.take(geom.sph_center, sp, axis=0)
+        r = jnp.take(geom.sph_radius, sp, axis=0)
+        oc = origin - c
+        a = _dot(direction, direction)
+        half_b = jnp.sum(oc * direction, axis=-1)
+        cc = _dot(oc, oc) - r * r
+        disc = half_b * half_b - a * cc
+        # winner lanes have disc >= 0; the where guard keeps sqrt's
+        # gradient finite on the clamped (non-winner) lanes
+        sqrtd = jnp.sqrt(jnp.where(sg(disc) > 0.0, disc, 1.0))
+        r0 = (-half_b - sqrtd) / a
+        r1 = (-half_b + sqrtd) / a
+        t_s = jnp.where(sg(jnp.abs(r0 - tw) <= jnp.abs(r1 - tw)), r0, r1)
+    if nt:
+        ti = jnp.clip(pid - ns, 0, nt - 1)
+        v0 = jnp.take(geom.tri_v0, ti, axis=0)
+        e1 = jnp.take(geom.tri_v1, ti, axis=0) - v0
+        e2 = jnp.take(geom.tri_v2, ti, axis=0) - v0
+        h = jnp.cross(direction, e2)
+        det = jnp.sum(e1 * h, axis=-1)
+        f = 1.0 / jnp.where(sg(jnp.abs(det)) >= 1e-6, det, 1.0)
+        q = jnp.cross(origin - v0, e1)
+        t_t = jnp.sum(e2 * q, axis=-1) * f
+    if ns and nt:
+        t_d = jnp.where(pid < ns, t_s, t_t)
+    else:
+        t_d = t_s if ns else t_t
+    in_tree = (pid >= 0) & (pid < ns + nt)
+    t_d = jnp.where(in_tree, t_d, 0.0)
+    return t_walk + (t_d - sg(t_d))
+
+
 def _closest_hit_accel(geom, accel, origin, direction, t_min, t_max) -> Hit:
     """BVH-accelerated closest hit: tree walk over spheres+triangles,
     brute force over the (unbounded) planes and the box occluders,
     merged by nearest t. Boxes are tested FIRST and their winning t is
     the walk's initial clamp, so subtrees behind a cube face are culled
     (the cube's own face triangles are masked inside the walk - the box
-    is their closest-hit form, see box_t)."""
+    is their closest-hit form, see box_t).
+
+    Differentiable (round 5): the walk itself runs under stop_gradient
+    (lax.while_loop has no reverse rule) and the winner's t is re-derived
+    straight-through (_winner_t_diff), so reverse-mode AD works through
+    this path with the accel's forward cost. Callers optimizing GEOMETRY
+    must still drop the accel (diff.split_params does by default): a
+    stale tree can cull moved primitives."""
     from .. import bvh as bvh_mod
+    sg = jax.lax.stop_gradient
     ns = geom.sph_center.shape[0]
     nt = geom.tri_v0.shape[0]
     npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
@@ -533,8 +610,11 @@ def _closest_hit_accel(geom, accel, origin, direction, t_min, t_max) -> Hit:
         t_box = jnp.take_along_axis(t_b, b_idx[..., None], axis=-1)[..., 0]
         tm_walk = jnp.minimum(jnp.asarray(t_max, origin.dtype),
                               t_box)
-    t, pid = bvh_mod.traverse_closest(accel, geom, origin, direction,
-                                      t_min, tm_walk)
+    geom_sg = jax.tree.map(sg, geom)
+    t, pid = bvh_mod.traverse_closest(accel, geom_sg, sg(origin),
+                                      sg(direction), t_min,
+                                      sg(jnp.asarray(tm_walk)))
+    t = _winner_t_diff(geom, origin, direction, t, pid)
     if nb:
         # The walk reports BIG where nothing beat tm_walk, and its
         # accept test is strict (t < t_best seeded with t_box) - so a
@@ -583,9 +663,16 @@ def any_hit(geom, origin, direction, t_min, t_max, accel=None,
     nb = getattr(geom, "box_min", jnp.zeros((0, 3))).shape[0]
     if use_accel(accel):
         from .. import bvh as bvh_mod
-        blocked = bvh_mod.traverse_any(accel, origin=origin,
-                                       direction=direction, geom=geom,
-                                       t_min=t_min, t_max=t_max,
+        # Occlusion verdicts are piecewise constant in every parameter
+        # (booleans), so the walk runs under stop_gradient - lax.while_loop
+        # has no reverse rule, and no gradient is lost (the brute-force
+        # path's verdicts carry zero gradient too).
+        sg = jax.lax.stop_gradient
+        blocked = bvh_mod.traverse_any(accel, origin=sg(origin),
+                                       direction=sg(direction),
+                                       geom=jax.tree.map(sg, geom),
+                                       t_min=t_min,
+                                       t_max=sg(jnp.asarray(t_max)),
                                        exact=exact)
         npl = getattr(geom, "pl_point", jnp.zeros((0, 3))).shape[0]
         t_max = jnp.asarray(t_max)

@@ -89,17 +89,17 @@ def _env_no_fused_soft() -> bool:
 
 
 def _env_stream_fused_soft() -> bool:
-    """A/B knob: RT_STREAM_FUSED_SOFT=1 re-enables the fused cone walk
-    for STREAM-mode soft shadows. Default OFF (per-sample walks):
-    measured on TPU 2026-08-20, the fused walk's 0.102*dist cone covers
-    most of a compact >4K-prim scene, so every walk degenerates to
-    near-all-leaf-rows x 16 samples - per-sample tight-slab walks are
-    2.2x faster on the 10K-tri mesh (17.1 -> 7.7 s at 800x600/20spp/d50)
-    and 2.5x on the 5833-sphere grid (51.3 -> 20.3 s at 5 spp), while
-    the SPREAD-OUT ring scenes that motivated the fused walk stay on it
-    in bvh mode (round-2 measurement: 5.0 -> 1.57 s the other way)."""
+    """A/B knob: RT_STREAM_FUSED_SOFT=0 reverts STREAM-mode soft shadows
+    to the per-sample walks. Default ON since round 5: with the
+    DISTANCE-PROPORTIONAL cone inflation (see soft_fused_fn) the fused
+    walk beats per-sample on the compact scenes that used to regress
+    (ico-10241 7.70 -> 6.33 s at 800x600/20spp/d50, grid-5833
+    20.2 -> 16.3 s at 5 spp, TPU 2026-08-20; the round-4 constant
+    0.102*dist inflation had made it 2.2-2.5x SLOWER there). Ring
+    scenes keep their round-2 fused win (the tight bound only shrinks
+    visited sets)."""
     import os
-    return os.environ.get("RT_STREAM_FUSED_SOFT", "") == "1"
+    return os.environ.get("RT_STREAM_FUSED_SOFT", "1") != "0"
 
 
 def _env_soft_prim() -> bool:
@@ -1468,21 +1468,21 @@ def _make_kernel(ns: int, nt: int, nl: int, nm: int, npl: int, cfg,
                 # Per-ROW conservative cone guard (round 5, stream mode):
                 # before paying the 16-sample tests for a row, one cheap
                 # central-ray test against the row's bounding sphere
-                # decides whether ANY sample could hit it. The mesh
-                # decomposition showed 64% of the fused soft cost is the
-                # per-sample row tests (soft4 4.37 s vs soft16 6.34 s vs
-                # hard 2.23 s at 20 spp), unlike unroll mode where the
-                # guard idea already pays (soft_prim_sets_fn). Skipping
-                # is BIT-EXACT: a skipped row could not flip any needing
-                # lane's verdict — if sample s hits the row at t in
-                # [t_min, dist], the hit point h lies in the row's
-                # bounding sphere (m, br), within 0.1002*min(t, dist) of
-                # the central LINE, and projects to g in
-                # [0.9949*t_min - br, dist + br]; the guard tests exactly
-                # those conditions with fp slack. RT_SOFT_ROW_GUARD=0
-                # disables for A/B.
+                # decides whether ANY sample could hit it (64-70% of the
+                # fused soft cost is per-sample row tests). Skipping is
+                # BIT-EXACT (hash-equal frames measured on TPU): if
+                # sample s hits the row at t in [t_min, dist], the hit
+                # point lies in the row's bounding sphere (m, br), within
+                # 0.1002*min(t, dist) of the central LINE, and projects
+                # to g in [0.9949*t_min - br, dist + br]; the guard tests
+                # exactly those conditions with fp slack. Default OFF —
+                # measured a NEGATIVE on TPU (grid-5833 14.7 vs 13.2 s
+                # @5spp, 2026-08-20): the per-row cross-lane reduce +
+                # scalar branch costs more than the skipped vector work,
+                # the same latency-vs-vector verdict as the round-3
+                # mid-trace split. RT_SOFT_ROW_GUARD=1 re-enables.
                 row_guard = stream_mode and os.environ.get(
-                    "RT_SOFT_ROW_GUARD", "1") != "0"
+                    "RT_SOFT_ROW_GUARD", "0") == "1"
                 eps_g = np.float32(1e-3)
 
                 def _row_can(mx, my, mz, br, b3):
@@ -2561,14 +2561,26 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
         test at the leaves;
       * forward culling keeps spheres behind the camera excluded:
         a forward hit implies oc . d_c >= -(R + L') * |d_c|;
-      * thin-lens DoF (round 4): a DoF sample is a ray from o + e
-        (|e| <= L = lens radius) with direction ~ d_j - e/F
-        (camera.thin_lens_perturb with F = focus distance), so the cone
-        widens to k' = k + L/F and every lateral bound gains the origin
-        shift: R = r + (dist + r) * k' + L' + eps with L' = L * (1 + k')
-        (the |c - o'| <= |c - o| + L slack folded in), plane numerator
-        intervals widen by L', and BVH node slabs inflate by the same
-        L'. With L = 0 all terms reduce to the round-3 math."""
+      * thin-lens DoF (round 5, tightened): a DoF sample is the line
+        through o + e (|e| <= Le = sqrt(2)*lens radius - the offset
+        basis Up/normalize(LookAt x Up) is NOT orthonormal, parity bug
+        kept) and the focal point o + F*d_j (thin_lens_perturb:
+        new_dir ~ F*d_j - e). A point at fraction lam of that segment
+        deviates from the JITTERED pixel ray by (1-lam)*|e|, so the
+        lateral DoF slack for a primitive at geometric distance s is
+        Le * |1 - s/(F*|d_j|)| - ZERO at the focal surface, Le at the
+        camera, growing linearly beyond focus. Per lane, |d_j| is
+        within (1 +- k) of |d_c|, so the in-kernel bound is
+        dofl = Le * max(|1 - x_lo|, |1 - x_hi|) with
+        x = (dist -+ r) / (F * |d_c| * (1 +- k)), and
+        R = r + (dist + r)*k + dofl + eps. (Round 4 used the global
+        k' = k + L/F widening instead - depth-independent, ~5x frame
+        cost on the DoF headline; the distance-proportional form is the
+        same tightening the fused soft cone got.) Planes keep the
+        direction-cone form kp = k + Le/(F - Le) on the denominator and
+        the origin-shift slack L' = Le*(1+kp) on the numerator; BVH node
+        slabs inflate by the scalar bound over |d_j| in [1, dmax].
+        With L = 0 all terms reduce to the round-3 math."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -2605,11 +2617,16 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
         dx = cam_ref[1, 0] + u * cam_ref[2, 0] + v * cam_ref[3, 0]
         dy = cam_ref[1, 1] + u * cam_ref[2, 1] + v * cam_ref[3, 1]
         dz = cam_ref[1, 2] + u * cam_ref[2, 2] + v * cam_ref[3, 2]
-        k = cam_ref[4, 0]   # cone half-sin incl. the DoF lens angle
+        kp = cam_ref[4, 0]  # direction-cone bound incl. lens (planes)
         ll = cam_ref[4, 1]  # DoF origin-shift slack L' (0 without DoF)
+        le = cam_ref[4, 2]  # lens offset bound Le (0 without DoF)
+        k = cam_ref[5, 0]   # pure jitter cone half-sin
+        c_lo = cam_ref[5, 1]  # 1/(F*(1+k)) and 1/(F*(1-k)): the DoF
+        c_hi = cam_ref[5, 2]  # focus-fraction bounds (0 without DoF)
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
         sqa = jnp.sqrt(a)
+        inv_sq = 1.0 / sqa
 
         def bs_hit(j, bf):
             ocx = bs_ref[0, j] - ox
@@ -2618,7 +2635,14 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
             oc2 = ocx * ocx + ocy * ocy + ocz * ocz
             g = ocx * dx + ocy * dy + ocz * dz
             r = bs_ref[3, j]
-            R = r + (jnp.sqrt(oc2) + r) * k + ll + eps
+            dist = jnp.sqrt(oc2)
+            # distance-proportional DoF slack: zero at the focal
+            # surface, Le at the camera (docstring; 0 without DoF)
+            x_lo = (dist - r) * inv_sq * c_lo
+            x_hi = (dist + r) * inv_sq * c_hi
+            dofl = le * jnp.maximum(jnp.abs(1.0 - x_lo),
+                                    jnp.abs(1.0 - x_hi))
+            R = r + (dist + r) * k + dofl + eps
             hit = (oc2 - g * g * inv_a <= R * R) & (g >= -(R + ll) * sqa)
             return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
 
@@ -2628,7 +2652,7 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
             num = ((pln_ref[0, j] - ox) * pln_ref[3, j]
                    + (pln_ref[1, j] - oy) * pln_ref[4, j]
                    + (pln_ref[2, j] - oz) * pln_ref[5, j])
-            hit = ((jnp.abs(denom) <= k + eps)
+            hit = ((jnp.abs(denom) <= kp + eps)
                    | (num * denom > 0.0)
                    | (jnp.abs(num) <= ll + eps))
             return jnp.maximum(bf, jnp.where(hit, 1.0, 0.0))
@@ -2714,16 +2738,25 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
     cam4 = _affine_camera(scene, go_camera)
     k = _cone_half_sin(scene, go_camera, width, height)
     if cfg.depth_of_field:
-        # Thin-lens widening (see the docstring): k' = k + L/F and the
-        # lateral origin-shift slack L' = L * (1 + k').
+        # Thin-lens widening (round 5, see the docstring): per-primitive
+        # distance-proportional slack instead of the global k' = k + L/F.
         L = np.float32(cfg.dof_lens_radius)
         F = np.float32(max(cfg.dof_focus_distance, 1e-6))
-        k = k + L / F
-        ll = L * (1.0 + k)
+        Le = np.float32(np.sqrt(2.0)) * L  # non-orthonormal lens basis
+        kp = k + Le / jnp.maximum(F - Le, 1e-6)  # direction-cone bound
+        ll = Le * (1.0 + kp)
+        inv_f = 1.0 / F
+        c_lo = inv_f / (1.0 + k)  # x bounds absorb |d_j| in (1 +- k)|d_c|
+        c_hi = inv_f / jnp.maximum(1.0 - k, 1e-3)
     else:
+        Le = k * 0.0
+        kp = k
         ll = k * 0.0
+        c_lo = k * 0.0
+        c_hi = k * 0.0
     cam = jnp.concatenate(
-        [cam4, jnp.stack([k, ll, k * 0.0])[None, :]], axis=0)
+        [cam4, jnp.stack([kp, ll, Le])[None, :],
+         jnp.stack([k, c_lo, c_hi])[None, :]], axis=0)
 
     bvh_inputs = []
     if use_bvh:
@@ -2731,8 +2764,26 @@ def pixel_mask_pallas(scene, px, py, *, width: int, height: int, cfg,
         nmin = jnp.asarray(scene.accel.node_min, jnp.float32)
         nmax = jnp.asarray(scene.accel.node_max, jnp.float32)
         far = jnp.maximum(jnp.abs(nmin - origin), jnp.abs(nmax - origin))
-        padn = (k * jnp.sqrt(jnp.sum(far * far, axis=-1))
-                + ll + eps)[:, None]
+        d_far = jnp.sqrt(jnp.sum(far * far, axis=-1))
+        if cfg.depth_of_field:
+            # Scalar per-node DoF slack over |d_j| in [1, dmax]
+            # (docstring): zero-at-focus per node instead of the old
+            # global + ll.
+            near_ax = jnp.maximum(jnp.maximum(nmin - origin,
+                                              origin - nmax), 0.0)
+            d_near = jnp.sqrt(jnp.sum(near_ax * near_ax, axis=-1))
+            dmax = (jnp.sqrt(jnp.sum(cam4[1] * cam4[1]))
+                    + jnp.sqrt(jnp.sum(cam4[2] * cam4[2]))
+                    + jnp.sqrt(jnp.sum(cam4[3] * cam4[3])))
+            F = np.float32(max(cfg.dof_focus_distance, 1e-6))
+            s_lo = jnp.maximum(d_near - Le, 0.0)
+            s_hi = d_far + Le
+            maxfac = jnp.maximum(
+                jnp.abs(1.0 - s_lo / (F * dmax + Le)),
+                jnp.abs(1.0 - s_hi / jnp.maximum(F - Le, 1e-6)))
+            padn = (k * s_hi + Le * maxfac + eps)[:, None]
+        else:
+            padn = (k * d_far + eps)[:, None]
         fp = 1e-3 * (nmax - nmin) + 1e-3  # fp slack (pack_bvh_tables)
         nodes = jnp.concatenate([
             nmin - padn - fp, nmax + padn + fp,

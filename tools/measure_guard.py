@@ -51,7 +51,8 @@ def main():
         spp = 5
     assert mk._kernel_mode(scene) == "stream"
     tag = (f"fused={os.environ.get('RT_STREAM_FUSED_SOFT', '0')} "
-           f"guard={os.environ.get('RT_SOFT_ROW_GUARD', '1')}")
+           f"guard={os.environ.get('RT_SOFT_ROW_GUARD', '0')} "
+           f"wide={os.environ.get('RT_WIDE_BVH', '1')}")
 
     # bit-identity probe: small deterministic frame, full depth
     cfg_small = trace_mod.TraceConfig(max_depth=6, shadow_samples=4)
