@@ -183,12 +183,23 @@ def _attach_stream_table(scene: "Scene") -> "Scene":
 
 def _accel_leaf_size(n: int) -> int:
     """Default BVH leaf size by scene scale: LEAF_SIZE_DEFAULT for the
-    SMEM packet walk; 32 past MAX_BVH_KERNEL_PRIMS (stream kernel -
-    bigger leaves halve the SMEM node table and amortize the per-leaf
-    DMA; megakernel MAX_STREAM_KERNEL_PRIMS doc)."""
+    SMEM packet walk; past MAX_BVH_KERNEL_PRIMS (stream kernel) the leaf
+    size GROWS with the scene so the SMEM node table stays bounded - a
+    195K-prim tree at leaf 32 builds ~16K nodes (~590 KB of the 1 MB
+    SMEM) and the trace kernel OOMs once scratch + aux tables land on
+    top (observed round 5). Node-count estimate: the median split makes
+    between n/leaf and 2n/leaf leaves, so <= 4n/leaf nodes; cap their
+    table at ~400 KB. Leaf 32..128 measured within +-8% on stream
+    scenes (BENCHMARKS "Beyond 4096" tuning), so bigger leaves are
+    safe."""
     from . import bvh as bvh_mod
     from .ops import megakernel as _mk
-    return 32 if n > _mk.MAX_BVH_KERNEL_PRIMS else bvh_mod.LEAF_SIZE_DEFAULT
+    if n <= _mk.MAX_BVH_KERNEL_PRIMS:
+        return bvh_mod.LEAF_SIZE_DEFAULT
+    leaf = 32
+    while leaf < 512 and (4 * n // leaf) * 36 > 400_000:
+        leaf *= 2
+    return leaf
 
 
 def _vec3(v, default=(0.0, 0.0, 0.0)) -> List[float]:

@@ -148,7 +148,7 @@ def mesh_scene_dict(tmpdir: str, subdiv: int = 4):
 
 
 def check_equivalence(name, scene, w=128, h=96, spp=2, depth=4,
-                      bvh_bitgate=False):
+                      bvh_bitgate=False, gates=None):
     """Correctness gates, by what each can actually prove:
 
     1. (bvh_bitgate, scenes small enough for SMEM tables) stream mode
@@ -169,7 +169,9 @@ def check_equivalence(name, scene, w=128, h=96, spp=2, depth=4,
     assert mk._kernel_mode(scene) == "stream", mk._kernel_mode(scene)
 
     import dataclasses as dc
-    for d, gate in ((2, 2e-3), (depth, 2e-2)):
+    if gates is None:
+        gates = ((2, 2e-3), (depth, 2e-2))
+    for d, gate in gates:
         cfg = dc.replace(cfg_r.trace_config(), max_depth=d)
         t0 = time.perf_counter()
         img = np.asarray(renderer_mod.render_wavefront(
@@ -264,6 +266,17 @@ def main():
     if mode != "--perf-only":
         check_equivalence("grid-5833", grid, bvh_bitgate=True)
         check_equivalence("ico-10241", mesh)
+        # Toward the 262,144-prim cap (round 5, VERDICT r4 #7): the
+        # Mosaic-vs-XLA 1-2 ulp verdict-flip fraction grows with
+        # primitive count (measured curve in BENCHMARKS "Engine
+        # equivalence": 9.4e-3 at 5,833 / 3.4e-2 at 50,654 prims at
+        # 96x72/2spp/depth 4). Gate a >=50K-prim scene at 2x the
+        # measured fraction so the advertised cap is a tested claim.
+        grid50 = rt.scene_from_dict(grid_scene_dict(37))[0]
+        n50 = renderer_mod.scene_prim_count(grid50)
+        print(f"grid-50K prims: {n50}")
+        check_equivalence("grid-50654", grid50, w=96, h=72,
+                          gates=((4, 8e-2),))
     if mode != "--check-only":
         measure_perf("grid-5833", grid, spp=5)
         measure_perf("ico-10241", mesh, spp=20)
