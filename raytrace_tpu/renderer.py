@@ -438,10 +438,14 @@ def _auto_surv_cap(n_lanes: int, block_rows: int) -> int:
     """Survivor re-compaction capacity: ring-profile measurement shows
     ~1% of lanes alive past bounce 1; 1/8 of the wavefront
     (block-rounded) is a 12x margin while still re-packing survivors
-    into ~1/8 of the blocks. Overflow is reported, never silent."""
+    into ~1/8 of the blocks. Overflow is reported, never silent.
+    RT_SURV_FRAC=<k> uses 1/k of the wavefront instead (glass-heavy
+    stream scenes keep >1/8 alive at shallow splits)."""
+    import os
+    frac = max(1, int(os.environ.get("RT_SURV_FRAC", "8") or 8))
     blk = block_rows * megakernel.LANE
     return min(-(-n_lanes // blk) * blk,
-               -(-max(1, n_lanes // 8) // blk) * blk)
+               -(-max(1, n_lanes // frac) // blk) * blk)
 
 
 def pick_split(scene, cfg) -> int:
@@ -465,9 +469,26 @@ def pick_split(scene, cfg) -> int:
     forced = os.environ.get("RT_SPLIT", "")
     if forced:
         b = int(forced)
-        if b > 0 and megakernel._kernel_mode(scene) == "bvh" \
+        # stream mode allowed for A/B since round 5: glass-grid scenes
+        # keep far more lanes alive deep than the rings the round-3
+        # negative was measured on.
+        if b > 0 and megakernel._kernel_mode(scene) in ("bvh", "stream") \
                 and cfg.max_depth > b:
             return b
+    # Round 5: STREAM scenes default to a bounce-4 split on deep
+    # traces. The deep tail dominates there (grid-5833 hard frame:
+    # bounces 8..50 are 70% — the block early-exit only skips FULLY
+    # dead blocks, and glass keeps a lane alive in most of them), and
+    # re-packing survivors into dense blocks measured grid full-d50
+    # 13.2 -> 8.05 s @5spp and mesh 5.72 -> 5.21 s @20spp (split 4;
+    # sweep: grid 2/4/6 = 8.7/8.05/7.85 s, mesh 2/4 = 4.67/5.21 s —
+    # 4 is the robust middle; RT_SPLIT overrides, RT_SURV_FRAC tunes
+    # the survivor capacity). Overflow self-heals: blacklist + unsplit
+    # redo (test_split_overflow_blacklists_and_falls_back). bvh-mode
+    # ring scenes keep the round-3 unsplit default (1.18-1.93x the
+    # other way: their tails are tiny and the re-launch overhead wins).
+    if megakernel._kernel_mode(scene) == "stream" and cfg.max_depth >= 12:
+        return 4
     return 0
 
 
@@ -628,6 +649,7 @@ def render_wavefront_chunked(scene, *, width: int, height: int,
     quantum = max(1, (block_rows * megakernel.LANE) // max(1, chunk))
     cache_key = (width, height, samples, cfg, go_camera, block_rows,
                  post, "chunked", chunk)
+    split = 0 if cache_key in _SPLIT_BLACKLIST else pick_split(scene, cfg)
     k_pad = _KPAD_CACHE.get(cache_key)
     # NOTE: the mask sees the FULL sample count: the TPU cone mask is
     # spp-independent anyway, and the CPU exact mask enumerates sample
@@ -651,21 +673,35 @@ def render_wavefront_chunked(scene, *, width: int, height: int,
         hit_px, pos_px, k_dev = _pixel_mask(
             scene, width=width, height=height, samples=samples, cfg=cfg,
             go_camera=go_camera)
-        _PENDING_CHECKS.append((cache_key, k_dev, k_pad, jnp.int32(0)))
-        if len(_PENDING_CHECKS) > 1024:
-            flush_capacity_checks()
 
     img_sum = None
+    ov_sum = jnp.int32(0)
     s0 = 0
     while s0 < samples:
         c = min(chunk, samples - s0)
-        part, _ = _compact_and_trace(
+        part, ov = _compact_and_trace(
             scene, hit_px, pos_px, k_dev, k_pad=k_pad, width=width,
             height=height, samples=c, cfg=cfg, go_camera=go_camera,
-            block_rows=block_rows, split=0,
+            block_rows=block_rows, split=split,
+            surv_cap=_auto_surv_cap(k_pad * c, block_rows),
             samp_base=jnp.uint32(s0), sum_image=True)
         img_sum = part if img_sum is None else img_sum + part
+        ov_sum = ov_sum + jnp.asarray(ov, jnp.int32)
         s0 += c
+    if assume_capacity:
+        # one deferred flag for the whole frame; flush raises +
+        # blacklists on either a stale capacity or a survivor overflow
+        _PENDING_CHECKS.append((cache_key, k_dev, k_pad, ov_sum))
+        if len(_PENDING_CHECKS) > 1024:
+            flush_capacity_checks()
+    elif split > 0 and int(ov_sum) > 0:
+        # survivor capacity overflowed (radiance tails were dropped):
+        # redo the frame unsplit and stop splitting this config
+        _SPLIT_BLACKLIST.add(cache_key)
+        return render_wavefront_chunked(
+            scene, width=width, height=height, samples=samples, cfg=cfg,
+            chunk=chunk, go_camera=go_camera, block_rows=block_rows,
+            as_numpy=as_numpy, assume_capacity=False, post=post)
     img = img_sum / samples
     if post is not None:
         img = post(img)

@@ -85,3 +85,52 @@ def test_chunked_round_resume_bit_exact():
     b = renderer_mod.render_wavefront_chunked(
         s, width=12, height=8, samples=4, cfg=cfg, chunk=2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_stream_split_and_chunked_compose(monkeypatch):
+    """Round 5: mid-trace survivor re-compaction defaults ON for deep
+    STREAM traces (grid-5833 full d50: 13.2 -> 8.05 s on TPU) and
+    composes with the chunked driver. Forced onto a tiny stream scene:
+    split and unsplit renders agree (radA + radB reassociation only),
+    chunked+split likewise."""
+    from raytrace_tpu import scene as scene_mod
+    from raytrace_tpu.ops import megakernel as mk
+    import math
+    objs = [{"type": "plane", "position": [0, -1.0, 0],
+             "normal": [0, 1, 0],
+             "material": {"type": "lambertian", "color": [0.6, 0.6, 0.6]}}]
+    for i in range(14):
+        a = 2 * math.pi * i / 14
+        objs.append({"type": "sphere",
+                     "position": [2.2 * math.cos(a), 0.0,
+                                  2.2 * math.sin(a) - 4], "radius": 0.5,
+                     "material": {"type": ["glass", "metal"][i % 2],
+                                  "color": [0.8, 0.8, 0.9],
+                                  "roughness": 0.1}})
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0.6, 1.5], "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [4, 8, 4],
+                    "color": [1, 1, 1], "intensity": 2.0}]})
+    s = scene_mod.with_accel(s, leaf_size=4)
+    monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 4)
+    monkeypatch.setattr(mk, "MAX_BVH_KERNEL_PRIMS", 8)
+    assert mk._kernel_mode(s) == "stream"
+    cfg = trace_mod.TraceConfig(max_depth=4, shadow_samples=1)
+    # default policy: deep stream traces split at bounce 4
+    deep = trace_mod.TraceConfig(max_depth=16)
+    assert renderer_mod.pick_split(s, deep) == 4
+    assert renderer_mod.pick_split(s, cfg) == 0  # shallow: unsplit
+    monkeypatch.setenv("RT_SPLIT", "2")
+    assert renderer_mod.pick_split(s, cfg) == 2
+    img_split = renderer_mod.render_wavefront(
+        s, width=10, height=8, samples=2, cfg=cfg)
+    chunk_split = renderer_mod.render_wavefront_chunked(
+        s, width=10, height=8, samples=2, cfg=cfg, chunk=1)
+    monkeypatch.setenv("RT_NO_SPLIT", "1")
+    assert renderer_mod.pick_split(s, cfg) == 0
+    img_plain = renderer_mod.render_wavefront(
+        s, width=10, height=8, samples=2, cfg=cfg)
+    assert img_plain.max() > 0.0
+    np.testing.assert_allclose(img_split, img_plain, atol=1e-5)
+    np.testing.assert_allclose(chunk_split, img_plain, atol=1e-5)
