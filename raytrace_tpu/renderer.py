@@ -435,14 +435,18 @@ def flush_capacity_checks() -> int:
 
 
 def _auto_surv_cap(n_lanes: int, block_rows: int) -> int:
-    """Survivor re-compaction capacity: ring-profile measurement shows
-    ~1% of lanes alive past bounce 1; 1/8 of the wavefront
-    (block-rounded) is a 12x margin while still re-packing survivors
-    into ~1/8 of the blocks. Overflow is reported, never silent.
-    RT_SURV_FRAC=<k> uses 1/k of the wavefront instead (glass-heavy
-    stream scenes keep >1/8 alive at shallow splits)."""
+    """Survivor re-compaction capacity: 1/4 of the wavefront
+    (block-rounded). The round-3 ring profile showed ~1% alive past
+    bounce 1 and used 1/8, but the glass-grid stream scenes that make
+    the split a 1.6x win keep 12-15% alive at bounces 4-6 — right AT a
+    1/8 cap, so individual sample rounds overflowed and blacklisted the
+    split nondeterministically across resolutions/rounds (observed
+    round 5). 1/4 clears that class with margin at a mild tail cost
+    (grid frac sweep: 8.05 s at 1/8 vs 8.72 s at 1/3, still >>
+    the 13.2 s unsplit). Overflow is reported, never silent.
+    RT_SURV_FRAC=<k> overrides with 1/k."""
     import os
-    frac = max(1, int(os.environ.get("RT_SURV_FRAC", "8") or 8))
+    frac = max(1, int(os.environ.get("RT_SURV_FRAC", "4") or 4))
     blk = block_rows * megakernel.LANE
     return min(-(-n_lanes // blk) * blk,
                -(-max(1, n_lanes // frac) // blk) * blk)
@@ -475,20 +479,22 @@ def pick_split(scene, cfg) -> int:
         if b > 0 and megakernel._kernel_mode(scene) in ("bvh", "stream") \
                 and cfg.max_depth > b:
             return b
-    # Round 5: STREAM scenes default to a bounce-4 split on deep
+    # Round 5: STREAM scenes default to a bounce-6 split on deep
     # traces. The deep tail dominates there (grid-5833 hard frame:
     # bounces 8..50 are 70% — the block early-exit only skips FULLY
     # dead blocks, and glass keeps a lane alive in most of them), and
     # re-packing survivors into dense blocks measured grid full-d50
-    # 13.2 -> 8.05 s @5spp and mesh 5.72 -> 5.21 s @20spp (split 4;
-    # sweep: grid 2/4/6 = 8.7/8.05/7.85 s, mesh 2/4 = 4.67/5.21 s —
-    # 4 is the robust middle; RT_SPLIT overrides, RT_SURV_FRAC tunes
-    # the survivor capacity). Overflow self-heals: blacklist + unsplit
-    # redo (test_split_overflow_blacklists_and_falls_back). bvh-mode
-    # ring scenes keep the round-3 unsplit default (1.18-1.93x the
-    # other way: their tails are tiny and the re-launch overhead wins).
+    # 13.2 -> 7.85 s @5spp (sweep: split 2/4/6 = 8.7/8.05/7.85 s) and
+    # mesh 5.72 -> ~5.2 s @20spp. Bounce 6, not 4: the glass grid keeps
+    # ~15% of lanes alive at bounce 4 — right at the 1/8 survivor cap,
+    # so split-4 blacklists at some resolutions; by bounce 6 the TIR
+    # chains have attenuated below it. RT_SPLIT overrides; RT_SURV_FRAC
+    # tunes the capacity. Overflow self-heals: blacklist + unsplit redo
+    # (test_split_overflow_blacklists_and_falls_back). bvh-mode ring
+    # scenes keep the round-3 unsplit default (1.18-1.93x the other
+    # way: their tails are tiny and the re-launch overhead wins).
     if megakernel._kernel_mode(scene) == "stream" and cfg.max_depth >= 12:
-        return 4
+        return 6
     return 0
 
 

@@ -117,9 +117,9 @@ def test_stream_split_and_chunked_compose(monkeypatch):
     monkeypatch.setattr(mk, "MAX_BVH_KERNEL_PRIMS", 8)
     assert mk._kernel_mode(s) == "stream"
     cfg = trace_mod.TraceConfig(max_depth=4, shadow_samples=1)
-    # default policy: deep stream traces split at bounce 4
+    # default policy: deep stream traces split at bounce 6
     deep = trace_mod.TraceConfig(max_depth=16)
-    assert renderer_mod.pick_split(s, deep) == 4
+    assert renderer_mod.pick_split(s, deep) == 6
     assert renderer_mod.pick_split(s, cfg) == 0  # shallow: unsplit
     monkeypatch.setenv("RT_SPLIT", "2")
     assert renderer_mod.pick_split(s, cfg) == 2
