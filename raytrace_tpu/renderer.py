@@ -244,47 +244,71 @@ def _compact_and_trace(scene, hit_px, pos_px, k_px, *, k_pad: int,
         surv_cap=surv_cap, samp_base=samp_base, sum_image=sum_image)
 
 
+def _split_levels(split) -> tuple:
+    """Normalize a split spec (0 | int | tuple of ascending bounces)."""
+    if not split:
+        return ()
+    if isinstance(split, int):
+        return (split,)
+    return tuple(split)
+
+
 def trace_with_split(scene, origin, direction, pix, samp, cfg, *,
-                     block_rows: int, split: int = 0, surv_cap: int = 0):
+                     block_rows: int, split=0, surv_cap: int = 0):
     """trace_pallas with optional mid-trace survivor re-compaction.
 
-    With split > 0 the trace runs bounces [0, split) over all lanes,
-    compacts the lanes still alive into `surv_cap` slots (one cumsum +
-    one scatter of lane ids + cheap gathers), and finishes
-    [split, max_depth) on the compacted wavefront - the bounce-tail cost
-    becomes proportional to SURVIVING blocks instead of all blocks.
-    Returns (radiance (B,3), overflow): overflow > 0 means surv_cap was
-    too small and the overflowed lanes' tail radiance was dropped -
-    callers must re-render unsplit (bit-comparable either way: RNG
-    streams key off absolute bounce indices; the only difference is the
-    radA + radB float reassociation, ~1e-7 relative).
+    `split` is 0 (plain trace), a bounce index, or an ascending TUPLE of
+    bounce indices (round 5: multi-level — glass scenes keep shedding
+    lanes deep into the trace, so the wavefront re-compacts at EACH
+    level; the bounce-16..50 tail still cost 2.6 s of the grid's 8.0 s
+    frame after a single bounce-6 split). Each level runs its bounce
+    segment, compacts the lanes still alive (one cumsum + one scatter
+    of lane ids + cheap gathers), and recurses on the compacted
+    wavefront; level caps below the first use _auto_surv_cap of the
+    CURRENT (already shrunken) lane count. Returns
+    (radiance (B,3), overflow): overflow > 0 means some level's cap was
+    too small and tail radiance was dropped - callers must re-render
+    unsplit (bit-comparable either way: RNG streams key off absolute
+    bounce indices; the only difference is the per-level radiance-sum
+    float reassociation, ~1e-7 relative).
     """
-    n_lanes = origin.shape[0]
-    if split <= 0 or cfg.max_depth <= split:
-        rad = megakernel.trace_pallas(scene, origin, direction, pix,
-                                      samp, cfg, block_rows=block_rows)
-        return rad, jnp.int32(0)
-    if surv_cap <= 0:
-        surv_cap = _auto_surv_cap(n_lanes, block_rows)
-    radA, st = megakernel.trace_pallas(
-        scene, origin, direction, pix, samp, cfg,
-        block_rows=block_rows, end_bounce=split, return_state=True)
-    alive = st["alive"] > 0.0
-    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    k_surv = pos[-1] + 1
-    overflow = jnp.maximum(0, k_surv - surv_cap)
-    target = jnp.where(alive, jnp.minimum(pos, surv_cap - 1), surv_cap)
-    sidx = jnp.zeros((surv_cap,), jnp.int32).at[target].set(
-        jnp.arange(n_lanes, dtype=jnp.int32), mode="drop")
-    valid_s = jnp.arange(surv_cap) < jnp.minimum(k_surv, surv_cap)
-    take = lambda a: jnp.take(a, sidx, axis=0)
-    radB = megakernel.trace_pallas(
-        scene, take(st["origin"]), take(st["direction"]),
-        take(pix), take(samp), cfg, block_rows=block_rows,
-        start_bounce=split, init_throughput=take(st["throughput"]),
-        init_alive=jnp.where(valid_s, take(st["alive"]), 0.0))
-    radB = jnp.where(valid_s[:, None], radB, 0.0)
-    return radA.at[sidx].add(radB, mode="drop"), overflow
+    levels = tuple(b for b in _split_levels(split)
+                   if 0 < b < cfg.max_depth)
+
+    def go(o, d, px_, sp_, tp, al, b0, rest, cap0):
+        kw = {}
+        if b0 > 0:
+            kw = dict(init_throughput=tp, init_alive=al)
+        if not rest:
+            rad = megakernel.trace_pallas(
+                scene, o, d, px_, sp_, cfg, block_rows=block_rows,
+                start_bounce=b0, **kw)
+            return rad, jnp.int32(0)
+        b1 = rest[0]
+        n = o.shape[0]
+        cap = cap0 if cap0 > 0 else _auto_surv_cap(n, block_rows)
+        radA, st = megakernel.trace_pallas(
+            scene, o, d, px_, sp_, cfg, block_rows=block_rows,
+            start_bounce=b0, end_bounce=b1, return_state=True, **kw)
+        alive = st["alive"] > 0.0
+        pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        k_surv = pos[-1] + 1
+        overflow = jnp.maximum(0, k_surv - cap)
+        target = jnp.where(alive, jnp.minimum(pos, cap - 1), cap)
+        sidx = jnp.zeros((cap,), jnp.int32).at[target].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        valid_s = jnp.arange(cap) < jnp.minimum(k_surv, cap)
+        take = lambda a: jnp.take(a, sidx, axis=0)
+        radB, ov_deep = go(
+            take(st["origin"]), take(st["direction"]), take(px_),
+            take(sp_), take(st["throughput"]),
+            jnp.where(valid_s, take(st["alive"]), 0.0),
+            b1, rest[1:], 0)
+        radB = jnp.where(valid_s[:, None], radB, 0.0)
+        return radA.at[sidx].add(radB, mode="drop"), overflow + ov_deep
+
+    return go(origin, direction, pix, samp, None, None, 0, levels,
+              surv_cap)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
@@ -472,13 +496,14 @@ def pick_split(scene, cfg) -> int:
         return 0
     forced = os.environ.get("RT_SPLIT", "")
     if forced:
-        b = int(forced)
+        # "6" or a multi-level "6,16" (ascending bounce indices)
+        bs = tuple(int(x) for x in forced.split(",") if x)
+        bs = tuple(b for b in bs if 0 < b < cfg.max_depth)
         # stream mode allowed for A/B since round 5: glass-grid scenes
         # keep far more lanes alive deep than the rings the round-3
         # negative was measured on.
-        if b > 0 and megakernel._kernel_mode(scene) in ("bvh", "stream") \
-                and cfg.max_depth > b:
-            return b
+        if bs and megakernel._kernel_mode(scene) in ("bvh", "stream"):
+            return bs if len(bs) > 1 else bs[0]
     # Round 5: STREAM scenes default to a bounce-6 split on deep
     # traces. The deep tail dominates there (grid-5833 hard frame:
     # bounces 8..50 are 70% — the block early-exit only skips FULLY
@@ -588,7 +613,7 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
         block_rows=block_rows, split=split,
         surv_cap=_auto_surv_cap(k_pad * samples, block_rows))
-    if split > 0 and int(ov_dev) > 0:  # first frame for this config
+    if split and int(ov_dev) > 0:  # first frame for this config
         _SPLIT_BLACKLIST.add(cache_key)
         img, ov_dev = _compact_and_trace(
             scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad,
@@ -700,7 +725,7 @@ def render_wavefront_chunked(scene, *, width: int, height: int,
         _PENDING_CHECKS.append((cache_key, k_dev, k_pad, ov_sum))
         if len(_PENDING_CHECKS) > 1024:
             flush_capacity_checks()
-    elif split > 0 and int(ov_sum) > 0:
+    elif split and int(ov_sum) > 0:
         # survivor capacity overflowed (radiance tails were dropped):
         # redo the frame unsplit and stop splitting this config
         _SPLIT_BLACKLIST.add(cache_key)
