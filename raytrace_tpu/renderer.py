@@ -229,19 +229,22 @@ def _compact_pixels(hit_px, pos_px, *, k_pad: int):
 
 @partial(jax.jit, static_argnames=("k_pad", "width", "height", "samples",
                                    "cfg", "go_camera", "block_rows",
-                                   "split", "surv_cap", "sum_image"))
+                                   "split", "surv_cap", "sum_image",
+                                   "deep_caps"))
 def _compact_and_trace(scene, hit_px, pos_px, k_px, *, k_pad: int,
                        width: int, height: int, samples: int,
                        cfg: trace_mod.TraceConfig, go_camera: bool,
                        block_rows: int, split: int = 0, surv_cap: int = 0,
-                       samp_base=None, sum_image: bool = False):
+                       samp_base=None, sum_image: bool = False,
+                       deep_caps: str = "const"):
     """Fused stage 2: pixel compaction + trace in one dispatch (one RPC
     round-trip matters when the TPU is reached through a tunnel)."""
     px_cidx = _compact_pixels.__wrapped__(hit_px, pos_px, k_pad=k_pad)
     return _trace_compacted_pixels.__wrapped__(
         scene, px_cidx, k_px, width=width, height=height, samples=samples,
         cfg=cfg, go_camera=go_camera, block_rows=block_rows, split=split,
-        surv_cap=surv_cap, samp_base=samp_base, sum_image=sum_image)
+        surv_cap=surv_cap, samp_base=samp_base, sum_image=sum_image,
+        deep_caps=deep_caps)
 
 
 def _split_levels(split) -> tuple:
@@ -254,7 +257,8 @@ def _split_levels(split) -> tuple:
 
 
 def trace_with_split(scene, origin, direction, pix, samp, cfg, *,
-                     block_rows: int, split=0, surv_cap: int = 0):
+                     block_rows: int, split=0, surv_cap: int = 0,
+                     deep_caps: str = "const"):
     """trace_pallas with optional mid-trace survivor re-compaction.
 
     `split` is 0 (plain trace), a bounce index, or an ascending TUPLE of
@@ -264,8 +268,14 @@ def trace_with_split(scene, origin, direction, pix, samp, cfg, *,
     frame after a single bounce-6 split). Each level runs its bounce
     segment, compacts the lanes still alive (one cumsum + one scatter
     of lane ids + cheap gathers), and recurses on the compacted
-    wavefront; level caps below the first use _auto_surv_cap of the
-    CURRENT (already shrunken) lane count. Returns
+    wavefront. Levels below the first reuse the FIRST level's capacity:
+    alive lanes never resurrect, so k_surv at any deeper level is
+    bounded by the lanes that fit level 1 — deep overflow is
+    structurally impossible, and only level 1 can trip the self-heal.
+    (Geometrically shrinking deep caps — half of current per level —
+    overflowed on "hot" sample rounds whose survivors decay slower
+    than 2x per level: a deterministic grid chunk measured 17.8% alive
+    at bounce 4 vs the 11.7% typical, observed round 5.) Returns
     (radiance (B,3), overflow): overflow > 0 means some level's cap was
     too small and tail radiance was dropped - callers must re-render
     unsplit (bit-comparable either way: RNG streams key off absolute
@@ -286,7 +296,21 @@ def trace_with_split(scene, origin, direction, pix, samp, cfg, *,
             return rad, jnp.int32(0)
         b1 = rest[0]
         n = o.shape[0]
-        cap = cap0 if cap0 > 0 else _auto_surv_cap(n, block_rows)
+        if cap0 > 0:
+            cap = min(n, cap0)
+        elif deep_caps == "const":
+            # glassy scene, deep level: REUSE the previous level's cap
+            # (== this wavefront's size) — alive lanes never resurrect,
+            # so k_surv <= n == cap and deep overflow is impossible.
+            # "Hot" sample rounds decay slower than 2x per level there
+            # (a deterministic grid chunk measured 17.8% alive at
+            # bounce 4 vs 11.7% typical) and blacklisted shrinking caps.
+            cap = n
+        else:
+            # fast-decay scene, deep level: halve — mesh-class survivor
+            # counts drop ~4x per level, and constant caps cost 6 extra
+            # near-dead relaunch wavefronts (mesh 6.3 vs 4.3 s measured)
+            cap = _auto_surv_cap(n, block_rows, frac=2)
         radA, st = megakernel.trace_pallas(
             scene, o, d, px_, sp_, cfg, block_rows=block_rows,
             start_bounce=b0, end_bounce=b1, return_state=True, **kw)
@@ -313,13 +337,15 @@ def trace_with_split(scene, origin, direction, pix, samp, cfg, *,
 
 @partial(jax.jit, static_argnames=("width", "height", "samples", "cfg",
                                    "go_camera", "block_rows", "split",
-                                   "surv_cap", "sum_image"))
+                                   "surv_cap", "sum_image",
+                                   "deep_caps"))
 def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
                             height: int, samples: int,
                             cfg: trace_mod.TraceConfig, go_camera: bool,
                             block_rows: int, split: int = 0,
                             surv_cap: int = 0, samp_base=None,
-                            sum_image: bool = False):
+                            sum_image: bool = False,
+                            deep_caps: str = "const"):
     """Stage 2: regenerate rays for compacted pixels, trace, segment-add
     per-pixel sums back into the image.
 
@@ -351,7 +377,8 @@ def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
 
     rad, overflow = trace_with_split(
         scene, origin, direction, pix_c, samp_c, cfg,
-        block_rows=block_rows, split=split, surv_cap=surv_cap)
+        block_rows=block_rows, split=split, surv_cap=surv_cap,
+        deep_caps=deep_caps)
 
     px_sum = rad.reshape(k_pad, samples, 3).sum(axis=1)
     # Padding slots repeat pixel 0; drop them instead of double-adding.
@@ -366,11 +393,13 @@ def _trace_compacted_pixels(scene, px_cidx, k_px, *, width: int,
 
 @partial(jax.jit, static_argnames=("k_pad", "width", "height", "samples",
                                    "cfg", "go_camera", "block_rows",
-                                   "post", "split", "surv_cap"))
+                                   "post", "split", "surv_cap",
+                                   "deep_caps"))
 def _render_fused(scene, *, k_pad: int, width: int, height: int,
                   samples: int, cfg: trace_mod.TraceConfig,
                   go_camera: bool, block_rows: int, post=None,
-                  split: int = 0, surv_cap: int = 0):
+                  split: int = 0, surv_cap: int = 0,
+                  deep_caps: str = "const"):
     """Whole wavefront render in ONE dispatch, given a capacity k_pad.
 
     Returns (img, k_px, overflow): the caller must check k_px <= k_pad -
@@ -388,7 +417,8 @@ def _render_fused(scene, *, k_pad: int, width: int, height: int,
     img, overflow = _compact_and_trace.__wrapped__(
         scene, hit_px, pos_px, k_px, k_pad=k_pad, width=width,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
-        block_rows=block_rows, split=split, surv_cap=surv_cap)
+        block_rows=block_rows, split=split, surv_cap=surv_cap,
+        deep_caps=deep_caps)
     if post is not None:
         img = post(img)
     return img, k_px, overflow
@@ -458,7 +488,8 @@ def flush_capacity_checks() -> int:
     return len(pending)
 
 
-def _auto_surv_cap(n_lanes: int, block_rows: int) -> int:
+def _auto_surv_cap(n_lanes: int, block_rows: int,
+                   frac: Optional[int] = None) -> int:
     """Survivor re-compaction capacity: 1/4 of the wavefront
     (block-rounded). The round-3 ring profile showed ~1% alive past
     bounce 1 and used 1/8, but the glass-grid stream scenes that make
@@ -468,9 +499,12 @@ def _auto_surv_cap(n_lanes: int, block_rows: int) -> int:
     round 5). 1/4 clears that class with margin at a mild tail cost
     (grid frac sweep: 8.05 s at 1/8 vs 8.72 s at 1/3, still >>
     the 13.2 s unsplit). Overflow is reported, never silent.
-    RT_SURV_FRAC=<k> overrides with 1/k."""
+    RT_SURV_FRAC=<k> overrides with 1/k. Multi-level schedules size
+    only their FIRST level here; deeper levels reuse that capacity
+    (see trace_with_split - deep overflow is then impossible)."""
     import os
-    frac = max(1, int(os.environ.get("RT_SURV_FRAC", "4") or 4))
+    if frac is None:
+        frac = max(1, int(os.environ.get("RT_SURV_FRAC", "4") or 4))
     blk = block_rows * megakernel.LANE
     return min(-(-n_lanes // blk) * blk,
                -(-max(1, n_lanes // frac) // blk) * blk)
@@ -504,23 +538,60 @@ def pick_split(scene, cfg) -> int:
         # negative was measured on.
         if bs and megakernel._kernel_mode(scene) in ("bvh", "stream"):
             return bs if len(bs) > 1 else bs[0]
-    # Round 5: STREAM scenes default to a bounce-6 split on deep
-    # traces. The deep tail dominates there (grid-5833 hard frame:
+    # Round 5: STREAM scenes default to a MULTI-LEVEL split ladder on
+    # deep traces. The deep tail dominates there (grid-5833 hard frame:
     # bounces 8..50 are 70% — the block early-exit only skips FULLY
     # dead blocks, and glass keeps a lane alive in most of them), and
-    # re-packing survivors into dense blocks measured grid full-d50
-    # 13.2 -> 7.85 s @5spp (sweep: split 2/4/6 = 8.7/8.05/7.85 s) and
-    # mesh 5.72 -> ~5.2 s @20spp. Bounce 6, not 4: the glass grid keeps
-    # ~15% of lanes alive at bounce 4 — right at the 1/8 survivor cap,
-    # so split-4 blacklists at some resolutions; by bounce 6 the TIR
-    # chains have attenuated below it. RT_SPLIT overrides; RT_SURV_FRAC
-    # tunes the capacity. Overflow self-heals: blacklist + unsplit redo
-    # (test_split_overflow_blacklists_and_falls_back). bvh-mode ring
-    # scenes keep the round-3 unsplit default (1.18-1.93x the other
-    # way: their tails are tiny and the re-launch overhead wins).
+    # glass sheds lanes all the way down, so the wavefront re-compacts
+    # repeatedly: grid full-d50 13.2 s unsplit -> 7.9 s single split ->
+    # 4.83 s at the 4,8,13,19,27,38 ladder (@5spp); mesh 5.72 -> 4.1 s.
+    # First level at 4 (the glass grid keeps ~15% of lanes alive there,
+    # under the 1/4 first-level cap; a glassier scene self-heals via
+    # blacklist + unsplit redo). Growth ~1.4x per level: survivors
+    # decay slower than 4x between nearby levels, which is also why
+    # deeper levels cap at 1/2 of their (already compacted) wavefront
+    # (_auto_surv_cap frac=2 — a blanket 1/4-per-level overflowed the
+    # dense schedules). RT_SPLIT="a,b,c" overrides; RT_SURV_FRAC tunes
+    # the first-level capacity. bvh-mode ring scenes keep the round-3
+    # unsplit default (1.18-1.93x the other way: their tails are tiny
+    # and the re-launch overhead wins).
     if megakernel._kernel_mode(scene) == "stream" and cfg.max_depth >= 12:
-        return 6
+        # Fast-decay (non-glassy) scenes start the ladder at bounce 2 -
+        # few lanes survive even that early, and the dense-from-2
+        # schedule measured mesh 4.14 s vs 5.28 s from-4. Glassy scenes
+        # must start at 4 (alive@2 can exceed the 1/4 first-level cap).
+        b = 2 if pick_deep_caps(scene) == "shrink" else 4
+        levels = []
+        while b <= cfg.max_depth - 2 and len(levels) < 8:
+            levels.append(b)
+            b = b + max(3, int(0.45 * b))
+        return tuple(levels) if len(levels) > 1 else (levels[0]
+                                                     if levels else 0)
     return 0
+
+
+def pick_deep_caps(scene) -> str:
+    """Deep-level capacity policy for multi-level splits (round 5).
+
+    'const' for scenes with a meaningful dielectric primitive fraction:
+    glass TIR chains sustain slow survivor decay, and "hot" sample
+    rounds (17.8% alive at bounce 4 vs 11.7% typical on the grid scene,
+    deterministic) overflow geometrically shrinking caps — constant
+    caps make deep overflow impossible. 'shrink' otherwise: fast-decay
+    scenes pay the extra near-dead relaunch wavefronts under constant
+    caps (mesh 6.3 s const vs 4.3 s shrink, measured). Host-side only
+    (reads concrete material tables - a tiny pull, and callers only ask
+    on split-enabled frames, which are multi-second stream renders)."""
+    from .models import materials as mat_mod
+    g = scene.geometry
+    mats = np.concatenate([np.asarray(g.sph_mat).reshape(-1),
+                           np.asarray(g.tri_mat).reshape(-1)])
+    if mats.size == 0:
+        return "shrink"
+    kinds = np.asarray(scene.materials.kind)
+    refractive = ((kinds[mats] == mat_mod.GLASS)
+                  | (kinds[mats] == mat_mod.DIELECTRIC))
+    return "const" if float(np.mean(refractive)) >= 0.05 else "shrink"
 
 
 def pick_block_rows(scene) -> int:
@@ -557,6 +628,7 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
     quantum = max(1, (block_rows * megakernel.LANE) // max(1, samples))
     cache_key = (width, height, samples, cfg, go_camera, block_rows, post)
     split = 0 if cache_key in _SPLIT_BLACKLIST else pick_split(scene, cfg)
+    deep_caps = pick_deep_caps(scene) if split else "const"
 
     k_pad = _KPAD_CACHE.get(cache_key)
     if k_pad is not None:
@@ -565,7 +637,8 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
             scene, k_pad=k_pad, width=width, height=height,
             samples=samples, cfg=cfg, go_camera=go_camera,
             block_rows=block_rows, post=post, split=split,
-            surv_cap=_auto_surv_cap(k_pad * samples, block_rows))
+            surv_cap=_auto_surv_cap(k_pad * samples, block_rows),
+            deep_caps=deep_caps)
         if assume_capacity:
             # Caller asserts the scene is unchanged since a validated
             # render: skip the capacity-check sync so back-to-back frames
@@ -612,7 +685,8 @@ def render_wavefront(scene, *, width: int, height: int, samples: int,
         scene, hit_px, pos_px, jnp.int32(k_px), k_pad=k_pad, width=width,
         height=height, samples=samples, cfg=cfg, go_camera=go_camera,
         block_rows=block_rows, split=split,
-        surv_cap=_auto_surv_cap(k_pad * samples, block_rows))
+        surv_cap=_auto_surv_cap(k_pad * samples, block_rows),
+        deep_caps=deep_caps)
     if split and int(ov_dev) > 0:  # first frame for this config
         _SPLIT_BLACKLIST.add(cache_key)
         img, ov_dev = _compact_and_trace(
@@ -681,6 +755,7 @@ def render_wavefront_chunked(scene, *, width: int, height: int,
     cache_key = (width, height, samples, cfg, go_camera, block_rows,
                  post, "chunked", chunk)
     split = 0 if cache_key in _SPLIT_BLACKLIST else pick_split(scene, cfg)
+    deep_caps = pick_deep_caps(scene) if split else "const"
     k_pad = _KPAD_CACHE.get(cache_key)
     # NOTE: the mask sees the FULL sample count: the TPU cone mask is
     # spp-independent anyway, and the CPU exact mask enumerates sample
@@ -715,7 +790,8 @@ def render_wavefront_chunked(scene, *, width: int, height: int,
             height=height, samples=c, cfg=cfg, go_camera=go_camera,
             block_rows=block_rows, split=split,
             surv_cap=_auto_surv_cap(k_pad * c, block_rows),
-            samp_base=jnp.uint32(s0), sum_image=True)
+            samp_base=jnp.uint32(s0), sum_image=True,
+            deep_caps=deep_caps)
         img_sum = part if img_sum is None else img_sum + part
         ov_sum = ov_sum + jnp.asarray(ov, jnp.int32)
         s0 += c

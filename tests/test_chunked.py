@@ -117,9 +117,11 @@ def test_stream_split_and_chunked_compose(monkeypatch):
     monkeypatch.setattr(mk, "MAX_BVH_KERNEL_PRIMS", 8)
     assert mk._kernel_mode(s) == "stream"
     cfg = trace_mod.TraceConfig(max_depth=4, shadow_samples=1)
-    # default policy: deep stream traces split at bounce 6
+    # default policy: deep stream traces get the multi-level ladder
+    # (this scene is glassy -> 'const' deep caps, ladder from bounce 4)
     deep = trace_mod.TraceConfig(max_depth=16)
-    assert renderer_mod.pick_split(s, deep) == 6
+    assert renderer_mod.pick_deep_caps(s) == "const"
+    assert renderer_mod.pick_split(s, deep) == (4, 7, 10, 14)
     assert renderer_mod.pick_split(s, cfg) == 0  # shallow: unsplit
     monkeypatch.setenv("RT_SPLIT", "2")
     assert renderer_mod.pick_split(s, cfg) == 2
