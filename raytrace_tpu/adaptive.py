@@ -67,7 +67,7 @@ def _round_up_multiple(x: int, m: int) -> int:
 
 def _batch_sums(scene, pix_pad, s0, *, width: int, height: int,
                 batch: int, cfg: trace_mod.TraceConfig, go_camera: bool,
-                engine: str, block_rows: int):
+                engine: str, block_rows: int, split=0):
     """Radiance sums for `batch` samples [s0, s0+batch) of each pixel id:
     (rgb_sum (K,3), luma_sum (K,), luma_sq_sum (K,)). Shared trace body of
     the host- and device-accumulation paths."""
@@ -79,8 +79,27 @@ def _batch_sums(scene, pix_pad, s0, *, width: int, height: int,
         origin, direction = renderer_mod._lane_rays(
             scene, pix, samp, width=width, height=height, cfg=cfg,
             go_camera=go_camera)
-        rad = megakernel.trace_pallas(scene, origin, direction, pix, samp,
-                                      cfg, block_rows=block_rows)
+        if split:
+            # Survivor re-compaction ladder at FULL capacity (round
+            # 5): cap == lane count at every level, so overflow is
+            # statically impossible and the discarded ov is always 0
+            # — no overflow plumbing through the accumulators.
+            # render_adaptive enables this only for glassy stream
+            # scenes (pick_deep_caps == "const"), where full caps
+            # measured within ~8% of the tuned frame-level ladder;
+            # fast-decay scenes pay relaunch overhead and stay
+            # unsplit here.
+            n = origin.shape[0]
+            blk = block_rows * megakernel.LANE
+            cap = -(-n // blk) * blk
+            rad, _ = renderer_mod.trace_with_split(
+                scene, origin, direction, pix, samp, cfg,
+                block_rows=block_rows, split=split, surv_cap=cap,
+                deep_caps="const")
+        else:
+            rad = megakernel.trace_pallas(
+                scene, origin, direction, pix, samp, cfg,
+                block_rows=block_rows)
     else:
         rad = renderer_mod.lane_radiance(scene, pix, samp, width=width,
                                          height=height, cfg=cfg,
@@ -91,21 +110,22 @@ def _batch_sums(scene, pix_pad, s0, *, width: int, height: int,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
-                                   "go_camera", "engine", "block_rows"))
+                                   "go_camera", "engine", "block_rows",
+                                   "split"))
 def _sample_batch(scene, pix_pad, s0, *, width: int, height: int,
                   batch: int, cfg: trace_mod.TraceConfig, go_camera: bool,
-                  engine: str, block_rows: int):
+                  engine: str, block_rows: int, split=0):
     """Host-accumulation entry: one jitted trace per (K, batch) shape;
     s0 is a traced scalar so every batch reuses the compiled program."""
     return _batch_sums(scene, pix_pad, s0, width=width, height=height,
                        batch=batch, cfg=cfg, go_camera=go_camera,
-                       engine=engine, block_rows=block_rows)
+                       engine=engine, block_rows=block_rows, split=split)
 
 
 def _batch_sums_sharded(scene, pix_pad, s0, *, width: int, height: int,
                         batch: int, cfg: trace_mod.TraceConfig,
                         go_camera: bool, engine: str, block_rows: int,
-                        mesh):
+                        mesh, split=0):
     """_batch_sums with the pixel axis sharded over every mesh device.
 
     Each pixel's whole sample batch stays on one device, so the per-pixel
@@ -121,7 +141,8 @@ def _batch_sums_sharded(scene, pix_pad, s0, *, width: int, height: int,
     def local(scene, pix_l, s0_l):
         return _batch_sums(scene, pix_l, s0_l, width=width, height=height,
                            batch=batch, cfg=cfg, go_camera=go_camera,
-                           engine=engine, block_rows=block_rows)
+                           engine=engine, block_rows=block_rows,
+                           split=split)
 
     # check_vma=False: the Pallas engine's out_shapes carry no
     # varying-axes metadata (same reason as shard.render_wavefront_sharded).
@@ -135,16 +156,17 @@ def _batch_sums_sharded(scene, pix_pad, s0, *, width: int, height: int,
 
 @partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
                                    "go_camera", "mesh", "engine",
-                                   "block_rows"))
+                                   "block_rows", "split"))
 def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
                           batch: int, cfg: trace_mod.TraceConfig,
                           go_camera: bool, mesh, engine: str = "jnp",
-                          block_rows: int = 8):
+                          block_rows: int = 8, split=0):
     """Host-accumulation sharded entry (one jitted trace per shape)."""
     return _batch_sums_sharded(scene, pix_pad, s0, width=width,
                                height=height, batch=batch, cfg=cfg,
                                go_camera=go_camera, engine=engine,
-                               block_rows=block_rows, mesh=mesh)
+                               block_rows=block_rows, mesh=mesh,
+                               split=split)
 
 
 # ---------------------------------------------------------------------------
@@ -166,12 +188,12 @@ def _sample_batch_sharded(scene, pix_pad, s0, *, width: int, height: int,
 @partial(jax.jit, static_argnames=("width", "height", "batch", "cfg",
                                    "go_camera", "engine", "block_rows",
                                    "do_test", "rel_tol", "abs_tol",
-                                   "k_use", "mesh"))
+                                   "k_use", "mesh", "split"))
 def _device_round(scene, act_ids, act_sums, full_sums, spp_map, k, s0, *,
                   width: int, height: int, batch: int,
                   cfg: trace_mod.TraceConfig, go_camera: bool, engine: str,
                   block_rows: int, do_test: bool, rel_tol: float,
-                  abs_tol: float, k_use: int = 0, mesh=None):
+                  abs_tol: float, k_use: int = 0, mesh=None, split=0):
     """One batch: trace, accumulate, and (on test rounds) converge+compact.
 
     `k` and `s0` are traced scalars; `do_test` is static (the host knows
@@ -198,12 +220,12 @@ def _device_round(scene, act_ids, act_sums, full_sums, spp_map, k, s0, *,
         rgb, y, y2 = _batch_sums_sharded(
             scene, act_ids, s0, width=width, height=height, batch=batch,
             cfg=cfg, go_camera=go_camera, engine=engine,
-            block_rows=block_rows, mesh=mesh)
+            block_rows=block_rows, mesh=mesh, split=split)
     else:
         rgb, y, y2 = _batch_sums(scene, act_ids, s0, width=width,
                                  height=height, batch=batch, cfg=cfg,
                                  go_camera=go_camera, engine=engine,
-                                 block_rows=block_rows)
+                                 block_rows=block_rows, split=split)
     add = jnp.concatenate([rgb, y[:, None], y2[:, None]], axis=1)
     act_sums = act_sums + jnp.where(valid[:, None], add, 0.0)
 
@@ -340,6 +362,17 @@ def render_adaptive(scene, *, width: int, height: int,
         raise ValueError(f"accum must be 'host' or 'device', got {accum!r}")
     block_rows = (renderer_mod.pick_block_rows(scene)
                   if engine == "pallas" else 8)
+    # Round 5: glassy STREAM scenes trace their batches through the
+    # survivor re-compaction ladder at FULL capacity (overflow
+    # statically impossible; see _batch_sums). Fast-decay scenes stay
+    # unsplit here — full caps cost near-dead relaunch wavefronts.
+    # Applied identically to the sharded path so mesh-sharding stays
+    # bit-invisible.
+    split_spec = 0
+    if engine == "pallas":
+        sp = renderer_mod.pick_split(scene, cfg)
+        if sp and renderer_mod.pick_deep_caps(scene) == "const":
+            split_spec = sp
     if mesh is not None:
         # Round 4: both accumulation modes and both engines compose with
         # a mesh — the trace fans out per device (_batch_sums_sharded),
@@ -416,7 +449,7 @@ def render_adaptive(scene, *, width: int, height: int,
             pad_quantum=pad_quantum, return_variance=return_variance,
             checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every, header=header,
-            as_numpy=as_numpy, mesh=mesh)
+            as_numpy=as_numpy, mesh=mesh, split_spec=split_spec)
 
     def _flush():
         if checkpoint_path:
@@ -435,12 +468,13 @@ def render_adaptive(scene, *, width: int, height: int,
             rgb, y, y2 = _sample_batch_sharded(
                 scene, jnp.asarray(pad), jnp.uint32(s0), width=width,
                 height=height, batch=b, cfg=cfg, go_camera=go_camera,
-                mesh=mesh, engine=engine, block_rows=block_rows)
+                mesh=mesh, engine=engine, block_rows=block_rows,
+                split=split_spec)
         else:
             rgb, y, y2 = _sample_batch(
                 scene, jnp.asarray(pad), jnp.uint32(s0), width=width,
                 height=height, batch=b, cfg=cfg, go_camera=go_camera,
-                engine=engine, block_rows=block_rows)
+                engine=engine, block_rows=block_rows, split=split_spec)
         k = active.size
         sum_rgb[active] += np.asarray(rgb, np.float64)[:k]
         sum_y[active] += np.asarray(y, np.float64)[:k]
@@ -486,7 +520,7 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
                             engine, block_rows, pad_quantum,
                             return_variance, checkpoint_path,
                             checkpoint_every, header, as_numpy=True,
-                            mesh=None):
+                            mesh=None, split_spec=0):
     """The accum="device" driver loop (state as resolved/resumed by
     render_adaptive, host-f64 schema). Per round: one async dispatch; one
     scalar pull on test rounds to shrink the pad bucket. Checkpoints pull
@@ -549,7 +583,8 @@ def _render_adaptive_device(scene, *, sum_rgb, sum_y, sum_y2, n_taken,
             jnp.uint32(s0), width=width, height=height, batch=b, cfg=cfg,
             go_camera=go_camera, engine=engine, block_rows=block_rows,
             do_test=do_test, rel_tol=float(rel_tol),
-            abs_tol=float(abs_tol), k_use=k_use, mesh=mesh)
+            abs_tol=float(abs_tol), k_use=k_use, mesh=mesh,
+            split=split_spec)
         if k_use:
             k_pad = k_use
             k_use = 0

@@ -363,3 +363,17 @@ def test_adaptive_composes_with_stream_kernel(monkeypatch):
                                             accum="device", **kw)
     np.testing.assert_array_equal(spp_d, spp_j)
     np.testing.assert_allclose(img_d, img_j, atol=1e-6, rtol=1e-6)
+    # Round 5: glassy stream scenes trace adaptive batches through the
+    # full-capacity survivor ladder (overflow statically impossible) —
+    # force a split via the env knob and pin decisions/image unchanged
+    # beyond the per-level f32 reassociation.
+    monkeypatch.setenv("RT_SPLIT", "1")
+    try:
+        from raytrace_tpu import renderer as renderer_mod
+        assert renderer_mod.pick_deep_caps(s) == "const"  # glassy
+        img_s, spp_s = adaptive.render_adaptive(s, engine="pallas",
+                                                accum="device", **kw)
+    finally:
+        monkeypatch.delenv("RT_SPLIT")
+    np.testing.assert_array_equal(spp_s, spp_j)
+    np.testing.assert_allclose(img_s, img_j, atol=1e-6, rtol=1e-6)
