@@ -125,3 +125,40 @@ def test_engines_agree_on_random_bvh_scene(seed, monkeypatch):
     assert mk._kernel_mode(scene) == "bvh"
     cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
     _trace_both(scene, cfg, 8, 6, seed)
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_engines_agree_on_random_stream_scene(seed, monkeypatch):
+    """Round 5: the same fuzz property through the DMA-STREAM kernel
+    mode (unified leaf rows DMA'd from HBM, tight fused soft cone,
+    4-wide stack walk when the SMEM budget allows): random clustered
+    scenes forced past MAX_BVH_KERNEL_PRIMS."""
+    from raytrace_tpu import scene as scene_mod
+    rnd = random.Random(seed)
+    r = rnd.random
+    objs = []
+    for _ in range(rnd.randint(3, 5)):
+        cx, cy, cz = 6 * r() - 3, 6 * r() - 3, 6 * r() - 3
+        for _ in range(rnd.randint(4, 8)):
+            mat = rnd.choice(MATS)(r)
+            objs.append({"type": "sphere",
+                         "position": [cx + r() - 0.5, cy + r() - 0.5,
+                                      cz + r() - 0.5],
+                         "radius": 0.15 + 0.3 * r(), "material": mat})
+    if rnd.random() < 0.5:
+        objs.append({"type": "plane", "position": [0, -3.5, 0],
+                     "normal": [0, 1, 0],
+                     "material": rnd.choice(MATS)(r)})
+    lights = [{"type": "point",
+               "position": [8 * r() - 4, 4 + 2 * r(), 8 * r() - 4],
+               "color": [r(), r(), r()], "intensity": 2 * r()}
+              for _ in range(rnd.randint(1, 2))]
+    scene, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0, 8], "aspectRatio": 1.0},
+        "objects": objs, "lights": lights})
+    scene = scene_mod.with_accel(scene, leaf_size=4)
+    monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 4)
+    monkeypatch.setattr(mk, "MAX_BVH_KERNEL_PRIMS", 8)
+    assert mk._kernel_mode(scene) == "stream"
+    cfg = trace_mod.TraceConfig(max_depth=3, shadow_samples=2)
+    _trace_both(scene, cfg, 8, 6, seed)
