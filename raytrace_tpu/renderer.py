@@ -538,6 +538,10 @@ def pick_split(scene, cfg) -> int:
         # negative was measured on.
         if bs and megakernel._kernel_mode(scene) in ("bvh", "stream"):
             return bs if len(bs) > 1 else bs[0]
+        # RT_SPLIT set but unusable (e.g. "0", or levels >= max_depth):
+        # an explicit request for NO split, not a fall-through to the
+        # default ladder.
+        return 0
     # Round 5: STREAM scenes default to a MULTI-LEVEL split ladder on
     # deep traces. The deep tail dominates there (grid-5833 hard frame:
     # bounces 8..50 are 70% — the block early-exit only skips FULLY
