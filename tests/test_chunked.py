@@ -136,3 +136,47 @@ def test_stream_split_and_chunked_compose(monkeypatch):
     assert img_plain.max() > 0.0
     np.testing.assert_allclose(img_split, img_plain, atol=1e-5)
     np.testing.assert_allclose(chunk_split, img_plain, atol=1e-5)
+
+
+def test_chunked_split_overflow_falls_back(monkeypatch):
+    """The chunked driver's survivor-overflow path: with a pinned tiny
+    capacity every chunk overflows, the config is blacklisted, and the
+    frame is redone unsplit — same image, never silent radiance loss."""
+    from raytrace_tpu import scene as scene_mod
+    from raytrace_tpu.ops import megakernel as mk
+    import math
+    objs = [{"type": "plane", "position": [0, -1.0, 0],
+             "normal": [0, 1, 0],
+             "material": {"type": "lambertian", "color": [0.6, 0.6, 0.6]}}]
+    for i in range(14):
+        a = 2 * math.pi * i / 14
+        objs.append({"type": "sphere",
+                     "position": [2.2 * math.cos(a), 0.0,
+                                  2.2 * math.sin(a) - 4], "radius": 0.5,
+                     "material": {"type": "glass",
+                                  "color": [0.9, 0.9, 0.95]}})
+    s, _ = rt.scene_from_dict({
+        "camera": {"position": [0, 0.6, 1.5], "aspectRatio": 1.33},
+        "objects": objs,
+        "lights": [{"type": "point", "position": [4, 8, 4],
+                    "color": [1, 1, 1], "intensity": 2.0}]})
+    s = scene_mod.with_accel(s, leaf_size=4)
+    monkeypatch.setattr(mk, "UNROLL_PRIM_LIMIT", 4)
+    monkeypatch.setattr(mk, "MAX_BVH_KERNEL_PRIMS", 8)
+    assert mk._kernel_mode(s) == "stream"
+    cfg = trace_mod.TraceConfig(max_depth=4, shadow_samples=1)
+    monkeypatch.setenv("RT_SPLIT", "2")
+    # reference: unsplit frame
+    monkeypatch.setenv("RT_NO_SPLIT", "1")
+    ref = renderer_mod.render_wavefront_chunked(
+        s, width=10, height=8, samples=2, cfg=cfg, chunk=1)
+    monkeypatch.delenv("RT_NO_SPLIT")
+    # 4-lane capacity: glass keeps far more alive past bounce 2
+    monkeypatch.setattr(renderer_mod, "_auto_surv_cap",
+                        lambda n, b, frac=None: 4)
+    before = len(renderer_mod._SPLIT_BLACKLIST)
+    img = renderer_mod.render_wavefront_chunked(
+        s, width=10, height=8, samples=2, cfg=cfg, chunk=1)
+    assert len(renderer_mod._SPLIT_BLACKLIST) == before + 1
+    assert img.max() > 0.0
+    np.testing.assert_allclose(img, ref, atol=1e-6)
